@@ -1,0 +1,85 @@
+"""Benchmark: forward Mrays/s on the reference's headline config.
+
+Renders scenes/dingdong.yml (1280x720, 3 objects, 2 lights — the scene the
+reference publishes ~25 ms / ~36.9 Mrays/s for its CUDA backend on,
+BASELINE.md) with the f32 fast path on the available accelerator, and prints
+ONE JSON line. ``vs_baseline`` is the ratio to the reference GPU's derived
+36.9 Mrays/s.
+
+Also measures forward+backward (gradient w.r.t. surface coefficients and
+light colors) as an auxiliary figure, since the TPU build is differentiable.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_MRAYS = 36.864  # 921600 px / 25 ms (BASELINE.md, derived row 1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_ray_tracer as trt
+    from tpu_ray_tracer.diff.inverse import apply_params, extract_params
+    from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
+
+    scene = trt.load_from_file(os.path.join(REPO, "scenes", "dingdong.yml"))
+    n_px = scene.width * scene.height
+    config = RenderConfig(geom_dtype="float32", polish_iters=3, bounces=0,
+                          chunk_px=None)
+    camera = trt.Camera(
+        position=jnp.zeros(3, jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(0.0, jnp.float32),
+    )
+
+    fwd = jax.jit(lambda s, c: _render_image_jit(s, c, config))
+    fwd(scene, camera).block_until_ready()  # compile
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fwd(scene, camera)
+    out.block_until_ready()
+    fwd_s = (time.perf_counter() - t0) / reps
+    mrays_fwd = n_px / fwd_s / 1e6
+
+    # forward+backward: grad of mean-image loss w.r.t. scene params
+    template = scene.astype(jnp.float32)
+    params = extract_params(template)
+
+    def loss_fn(params, camera):
+        s = apply_params(template, params)
+        img = _render_image_jit(s, camera, config)
+        return jnp.mean(img * img)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    jax.block_until_ready(grad_fn(params, camera))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g = grad_fn(params, camera)
+    jax.block_until_ready(g)
+    fwdbwd_s = (time.perf_counter() - t0) / reps
+    mrays_fwdbwd = n_px / fwdbwd_s / 1e6
+
+    print(json.dumps({
+        "metric": "mrays_per_s_fwd_dingdong_1280x720",
+        "value": round(mrays_fwd, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays_fwd / BASELINE_MRAYS, 3),
+        "aux": {
+            "frame_ms_fwd": round(fwd_s * 1e3, 3),
+            "mrays_per_s_fwd_bwd": round(mrays_fwdbwd, 2),
+            "frame_ms_fwd_bwd": round(fwdbwd_s * 1e3, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Command-line app shell.
+
+The reference's shell is a GLFW window with a fly camera
+(reference: src/ray-tracer.cpp:136-248). TPU hosts are headless, so the
+shell becomes subcommands:
+
+* ``render <scene.yml> [-o out.png] [--pose X Y Z YAW PITCH] [--size W H]``
+  — one frame to a PNG/NPY, either backend.
+* ``bench <scene.yml> [--frames N]`` — frame-time / FPS / Mrays/s report,
+  printing the reference's ``FPS: ..., last render time: ... ms`` line.
+* ``animate <scene.yml>`` — render a camera path (the offline analogue of
+  fly-camera interaction), writing numbered PNGs.
+
+Window size arguments exist for parity but only affect output scaling, as in
+the reference (scene resolution is independent of window size,
+reference: src/ray-tracer.cpp:160-169, 209-214).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("scene", help="YAML scene description")
+    p.add_argument("--backend", choices=["auto", "jax", "numpy"], default="auto",
+                   help="renderer backend (auto = jax fast path)")
+    p.add_argument("--size", nargs=2, type=int, metavar=("W", "H"), default=None,
+                   help="override scene resolution")
+    p.add_argument("--pose", nargs=5, type=float,
+                   metavar=("X", "Y", "Z", "YAW", "PITCH"), default=None,
+                   help="camera pose (default: reference initial pose)")
+
+
+def _load(args):
+    import dataclasses
+
+    from . import load_from_file
+
+    scene = load_from_file(args.scene)
+    if args.size:
+        scene = dataclasses.replace(scene, width=args.size[0], height=args.size[1])
+    return scene
+
+
+def _render(scene, args):
+    if args.backend == "numpy":
+        from .render.reference_cpu import render_image_np
+
+        pose = args.pose or (0.0, 0.0, 0.0, 90.0, 0.0)
+        return render_image_np(
+            scene, position=pose[:3], yaw_deg=pose[3], pitch_deg=pose[4]
+        )
+    import jax.numpy as jnp
+
+    from . import Camera, FAST_CONFIG, render_image
+
+    camera = None
+    if args.pose:
+        camera = Camera(
+            position=jnp.asarray(args.pose[:3], jnp.float32),
+            yaw_deg=jnp.asarray(args.pose[3], jnp.float32),
+            pitch_deg=jnp.asarray(args.pose[4], jnp.float32),
+        )
+    return np.asarray(render_image(scene, camera, FAST_CONFIG))
+
+
+def cmd_render(args) -> int:
+    from .models.errors import SceneError
+    from .utils.io import write_npy, write_png
+
+    try:
+        scene = _load(args)
+    except SceneError as exc:
+        # reference error surface (src/ray-tracer.cpp:151-158)
+        print(f"Error during scene loading\n{exc}", file=sys.stderr)
+        return 1
+    image = _render(scene, args)
+    out = args.output or "render.png"
+    if out.endswith(".npy"):
+        write_npy(out, image)
+    else:
+        write_png(out, image)
+    print(f"Wrote {out} ({scene.width}x{scene.height})")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from . import FAST_CONFIG, render_image
+    from .utils.timing import FrameTimer, mrays_per_s
+
+    scene = _load(args)
+    n_px = scene.width * scene.height
+    # warmup / compile
+    t0 = time.perf_counter()
+    render_image(scene, config=FAST_CONFIG).block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    timer = FrameTimer()
+    times = []
+    for _ in range(args.frames):
+        t0 = time.perf_counter()
+        render_image(scene, config=FAST_CONFIG).block_until_ready()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        timer.frame(dt * 1e3)
+    best = min(times)
+    mean = sum(times) / len(times)
+    print(
+        f"compile: {compile_s:.1f} s | frame best {best*1e3:.3f} ms mean "
+        f"{mean*1e3:.3f} ms | {mrays_per_s(n_px, best):.1f} Mrays/s (primary)"
+    )
+    return 0
+
+
+def cmd_animate(args) -> int:
+    from .utils.io import write_png
+
+    scene = _load(args)
+    for i in range(args.frames):
+        yaw = 90.0 + args.yaw_rate * i
+        frame_args = argparse.Namespace(**vars(args))
+        frame_args.pose = [0.0, 0.0, 0.0, yaw, 0.0]
+        image = _render(scene, frame_args)
+        path = f"{args.prefix}{i:04d}.png"
+        write_png(path, image)
+        print(f"Wrote {path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tpu-ray-tracer",
+        description="TPU-native differentiable ray tracer for algebraic surfaces",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render one frame to an image file")
+    _add_common(p)
+    p.add_argument("-o", "--output", default=None, help="output file (.png/.npy)")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="benchmark frame time / Mrays/s")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=10)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("animate", help="render a yaw-sweep camera path")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--yaw-rate", type=float, default=2.0, help="deg per frame")
+    p.add_argument("--prefix", default="frame_")
+    p.set_defaults(fn=cmd_animate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
