@@ -23,11 +23,15 @@ BASELINE_MRAYS = 36.864  # 921600 px / 25 ms (BASELINE.md, derived row 1)
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/trt_bench_cache")
     import jax.numpy as jnp
+    import numpy as np
 
     import tpu_ray_tracer as trt
     from tpu_ray_tracer.diff.inverse import apply_params, extract_params
     from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
+    from tpu_ray_tracer.render.reference_cpu import render_image_np
 
     scene = trt.load_from_file(os.path.join(REPO, "scenes", "dingdong.yml"))
     n_px = scene.width * scene.height
@@ -40,13 +44,21 @@ def main():
     )
 
     fwd = jax.jit(lambda s, c: _render_image_jit(s, c, config))
-    fwd(scene, camera).block_until_ready()  # compile
+    image = fwd(scene, camera)
+    image.block_until_ready()  # compile
+
+    # correctness gate: the timed kernel must match the f64 golden oracle
+    golden = render_image_np(scene)
+    err = np.abs(np.asarray(image) - golden).max(axis=-1)
+    bad_px_fraction = float((err > 2.0 / 255.0).mean())
+
     reps = 10
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
-        out = fwd(scene, camera)
-    out.block_until_ready()
-    fwd_s = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        fwd(scene, camera).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    fwd_s = min(times)
     mrays_fwd = n_px / fwd_s / 1e6
 
     # forward+backward: grad of mean-image loss w.r.t. scene params
@@ -60,11 +72,12 @@ def main():
 
     grad_fn = jax.jit(jax.grad(loss_fn))
     jax.block_until_ready(grad_fn(params, camera))  # compile
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
-        g = grad_fn(params, camera)
-    jax.block_until_ready(g)
-    fwdbwd_s = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        jax.block_until_ready(grad_fn(params, camera))
+        times.append(time.perf_counter() - t0)
+    fwdbwd_s = min(times)
     mrays_fwdbwd = n_px / fwdbwd_s / 1e6
 
     print(json.dumps({
@@ -76,6 +89,7 @@ def main():
             "frame_ms_fwd": round(fwd_s * 1e3, 3),
             "mrays_per_s_fwd_bwd": round(mrays_fwdbwd, 2),
             "frame_ms_fwd_bwd": round(fwdbwd_s * 1e3, 3),
+            "parity_bad_px_fraction_vs_f64_golden": round(bad_px_fraction, 6),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -27,8 +27,10 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("scene", help="YAML scene description")
-    p.add_argument("--backend", choices=["auto", "jax", "numpy"], default="auto",
-                   help="renderer backend (auto = jax fast path)")
+    p.add_argument("--backend", choices=["auto", "jax", "pallas", "numpy"],
+                   default="auto",
+                   help="renderer backend (auto = jax fast path; pallas = "
+                        "fused TPU kernel, interpreter on CPU)")
     p.add_argument("--size", nargs=2, type=int, metavar=("W", "H"), default=None,
                    help="override scene resolution")
     p.add_argument("--pose", nargs=5, type=float,
@@ -66,6 +68,10 @@ def _render(scene, args):
             yaw_deg=jnp.asarray(args.pose[3], jnp.float32),
             pitch_deg=jnp.asarray(args.pose[4], jnp.float32),
         )
+    if args.backend == "pallas":
+        from .render.pallas_backend import render_image_pallas
+
+        return np.asarray(render_image_pallas(scene, camera))
     return np.asarray(render_image(scene, camera, FAST_CONFIG))
 
 
@@ -117,6 +123,60 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Inverse rendering: recover perturbed scene parameters from a target
+    image by gradient descent (BASELINE.json config; no reference analog)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .diff.inverse import InverseProblem, fit
+    from .parallel.sharding import make_mesh, render_image_sharded
+    from .render.pipeline import RenderConfig
+
+    scene = _load(args)
+    config = RenderConfig(geom_dtype="float32", polish_iters=2, chunk_px=None)
+    mesh = make_mesh()
+    camera = None
+
+    if args.target:
+        target = np.load(args.target)
+    else:
+        # self-recovery: target = render of the unperturbed scene
+        target = render_image_sharded(scene, _default_camera(), mesh, config)
+
+    perturbed = dataclasses.replace(
+        scene, light_color=np.asarray(scene.light_color) * args.perturb
+    )
+    problem = InverseProblem(
+        scene_template=perturbed,
+        config=config,
+        param_fields=tuple(args.params.split(",")),
+        learning_rate=args.lr,
+    )
+    params, losses = fit(
+        problem, target, steps=args.steps, mesh=mesh,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+    )
+    print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e} over {len(losses)} steps")
+    return 0
+
+
+def _default_camera():
+    import jax.numpy as jnp
+
+    from . import Camera
+
+    return Camera(
+        position=jnp.zeros(3, jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(0.0, jnp.float32),
+    )
+
+
 def cmd_animate(args) -> int:
     from .utils.io import write_png
 
@@ -148,6 +208,19 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--frames", type=int, default=10)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("fit", help="inverse rendering: recover scene params")
+    _add_common(p)
+    p.add_argument("--target", default=None, help=".npy target image (default: self)")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=5e-2)
+    p.add_argument("--perturb", type=float, default=0.6,
+                   help="light-intensity perturbation factor to recover from")
+    p.add_argument("--params", default="light_color",
+                   help="comma-separated scene fields to optimize")
+    p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("animate", help="render a yaw-sweep camera path")
     _add_common(p)
