@@ -1,0 +1,125 @@
+"""Inverse rendering end-to-end (BASELINE.json configuration: recover
+perturbed clebsch.yml parameters from a rendered target image).
+
+Scope note: gradients through the renderer are implicit-function-theorem
+gradients — exact almost everywhere, but blind to visibility/root-selection
+discontinuities. For multi-sheet cubics like the Clebsch surface, large
+surface-coefficient perturbations create a loss landscape whose slope is
+carried by dense selection-flip discontinuities, where first-order descent
+stalls (verified empirically: the c-coefficient loss is a clean V whose
+a.e.-gradient opposes the jump-dominated trend on one side). Light and
+shading parameters are smooth and recover cleanly; that is what this test
+pins. The limitation is documented in ARCHITECTURE.md.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import tpu_ray_tracer as trt
+
+from conftest import scene_path
+
+
+@pytest.fixture(scope="module")
+def jaxmod():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+def test_recover_clebsch_light_params(jaxmod):
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.diff.inverse import (
+        InverseProblem, extract_params, make_train_step, pad_target,
+    )
+    from tpu_ray_tracer.parallel.sharding import make_mesh, render_image_sharded
+    from tpu_ray_tracer.render.pipeline import RenderConfig
+
+    mesh = make_mesh()
+    config = RenderConfig(geom_dtype="float32", polish_iters=2, bounces=0,
+                          chunk_px=None)
+    scene = dataclasses.replace(
+        trt.load_from_file(scene_path("clebsch")), width=32, height=24
+    )
+    camera = trt.Camera(
+        position=jnp.zeros(3, jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(0.0, jnp.float32),
+    )
+    target = render_image_sharded(scene, camera, mesh, config)
+
+    perturbed = dataclasses.replace(
+        scene, light_color=np.asarray(scene.light_color) * 0.55
+    )
+    problem = InverseProblem(
+        scene_template=perturbed, config=config, learning_rate=5e-2,
+        param_fields=("light_color",),
+    )
+    params = extract_params(perturbed.astype(jnp.float32), ("light_color",))
+    opt = problem.optimizer()
+    opt_state = opt.init(params)
+    step = make_train_step(problem, mesh)
+    tgt = pad_target(jnp.asarray(target, jnp.float32), mesh, scene.height)
+
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state, camera, tgt)
+        losses.append(float(loss))
+
+    assert np.isfinite(losses).all()
+    assert losses[0] > 1e-5
+    assert min(losses) < losses[0] * 0.05, (
+        f"loss {losses[0]:.3e} -> {min(losses):.3e}"
+    )
+    # The recovered parameters reproduce the target image. (The light table
+    # itself is non-identifiable: six symmetric directional lights admit many
+    # tables with identical renders, so parameter-space closeness is not a
+    # valid criterion.)
+    from tpu_ray_tracer.diff.inverse import apply_params
+
+    import jax as _jax
+    recovered_scene = apply_params(
+        _jax.tree.map(jnp.asarray, perturbed.astype(jnp.float32)), params
+    )
+    recovered = render_image_sharded(recovered_scene, camera, mesh, config)
+    err = np.abs(np.asarray(recovered) - np.asarray(target))
+    assert err.max() < 0.04, err.max()
+
+
+def test_loss_landscape_minimum_at_truth(jaxmod):
+    """The image loss over the surface constant term has its minimum at the
+    true value — the objective is well-posed even where first-order descent
+    is discontinuity-limited."""
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.diff.inverse import InverseProblem, make_loss_fn, pad_target
+    from tpu_ray_tracer.models.surface import COEF_INDEX
+    from tpu_ray_tracer.parallel.sharding import make_mesh, render_image_sharded
+    from tpu_ray_tracer.render.pipeline import RenderConfig
+
+    mesh = make_mesh()
+    config = RenderConfig(geom_dtype="float32", polish_iters=2, bounces=0,
+                          chunk_px=None)
+    scene = dataclasses.replace(
+        trt.load_from_file(scene_path("clebsch")), width=32, height=24
+    )
+    camera = trt.Camera(
+        position=jnp.zeros(3, jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(0.0, jnp.float32),
+    )
+    target = render_image_sharded(scene, camera, mesh, config)
+    tgt = pad_target(jnp.asarray(target, jnp.float32), mesh, scene.height)
+    problem = InverseProblem(scene_template=scene, config=config,
+                             param_fields=("coefs",))
+    loss_fn = jax.jit(make_loss_fn(problem, mesh))
+
+    losses = {}
+    for cval in [0.8, 1.0, 1.2]:
+        c = np.asarray(scene.coefs, dtype=np.float32).copy()
+        c[0, COEF_INDEX["c"]] = cval
+        losses[cval] = float(loss_fn({"coefs": jnp.asarray(c)}, camera, tgt))
+    assert losses[1.0] < 1e-8
+    assert losses[0.8] > losses[1.0]
+    assert losses[1.2] > losses[1.0]

@@ -106,6 +106,13 @@ def cmd_bench(args) -> int:
     render_image(scene, config=FAST_CONFIG).block_until_ready()
     compile_s = time.perf_counter() - t0
 
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     timer = FrameTimer()
     times = []
     for _ in range(args.frames):
@@ -114,6 +121,11 @@ def cmd_bench(args) -> int:
         dt = time.perf_counter() - t0
         times.append(dt)
         timer.frame(dt * 1e3)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}")
+
     best = min(times)
     mean = sum(times) / len(times)
     print(
@@ -207,6 +219,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="benchmark frame time / Mrays/s")
     _add_common(p)
     p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the timed frames")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("fit", help="inverse rendering: recover scene params")

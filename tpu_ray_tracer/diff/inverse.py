@@ -57,8 +57,17 @@ class InverseProblem:
     config: RenderConfig = RenderConfig(polish_iters=3)
     param_fields: tuple = DEFAULT_PARAM_FIELDS
     learning_rate: float = 1e-2
+    grad_clip: float | None = None  # optional global-norm clip; note IFT
+    #                                 gradients spike at grazing hits, and a
+    #                                 global clip pins the direction to those
+    #                                 spikes — prefer per-coordinate Adam alone
 
     def optimizer(self):
+        if self.grad_clip is not None:
+            return optax.chain(
+                optax.clip_by_global_norm(self.grad_clip),
+                optax.adam(self.learning_rate),
+            )
         return optax.adam(self.learning_rate)
 
 
