@@ -189,6 +189,40 @@ def _default_camera():
     )
 
 
+def cmd_view(args) -> int:
+    """Interactive terminal viewer (the reference's GLFW window analogue)."""
+    import dataclasses
+
+    import numpy as np
+
+    from .utils.term_view import run_viewer
+
+    scene = _load(args)
+    # scene render resolution = the view resolution here
+    view_w = args.size[0] if args.size else 120
+    view_h = args.size[1] if args.size else 72
+    scene = dataclasses.replace(scene, width=view_w, height=view_h)
+
+    if args.backend == "numpy":
+        from .render.reference_cpu import render_image_np
+
+        def render_fn(camera):
+            return render_image_np(
+                scene,
+                position=np.asarray(camera.position),
+                yaw_deg=float(np.asarray(camera.yaw_deg)),
+                pitch_deg=float(np.asarray(camera.pitch_deg)),
+            )
+    else:
+        from . import FAST_CONFIG, render_image
+
+        def render_fn(camera):
+            return np.asarray(render_image(scene, camera, FAST_CONFIG))
+
+    run_viewer(render_fn, view_w, view_h, print_fn=None)
+    return 0
+
+
 def cmd_animate(args) -> int:
     from .utils.io import write_png
 
@@ -235,6 +269,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("view", help="interactive terminal viewer (fly camera)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("animate", help="render a yaw-sweep camera path")
     _add_common(p)
