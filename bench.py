@@ -30,6 +30,7 @@ def main():
 
     import tpu_ray_tracer as trt
     from tpu_ray_tracer.diff.inverse import apply_params, extract_params
+    from tpu_ray_tracer.render.pallas_backend import _render_pallas_raw
     from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
     from tpu_ray_tracer.render.reference_cpu import render_image_np
 
@@ -43,7 +44,14 @@ def main():
         pitch_deg=jnp.asarray(0.0, jnp.float32),
     )
 
-    fwd = jax.jit(lambda s, c: _render_image_jit(s, c, config))
+    # Hot path: the fused Pallas tile kernel (falls back to the XLA pipeline
+    # off-TPU, where Mosaic isn't available).
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        fwd = jax.jit(lambda s, c: _render_pallas_raw(
+            s, c, config.polish_iters, 0))
+    else:
+        fwd = jax.jit(lambda s, c: _render_image_jit(s, c, config))
     image = fwd(scene, camera)
     image.block_until_ready()  # compile
 
@@ -95,7 +103,7 @@ def main():
     grad_fn = jax.jit(jax.grad(loss_fn))
     jax.block_until_ready(grad_fn(params, camera))  # compile
     times = []
-    for _ in range(reps):
+    for _ in range(5):
         t0 = time.perf_counter()
         jax.block_until_ready(grad_fn(params, camera))
         times.append(time.perf_counter() - t0)
@@ -113,6 +121,7 @@ def main():
             "mrays_per_s_fwd_bwd": round(mrays_fwdbwd, 2),
             "frame_ms_fwd_bwd_single_call": round(fwdbwd_s * 1e3, 3),
             "parity_bad_px_fraction_vs_f64_golden": round(bad_px_fraction, 6),
+            "forward_backend": "pallas" if on_tpu else "xla",
             "device": str(jax.devices()[0]),
         },
     }))

@@ -11,6 +11,11 @@ import os
 # Force CPU: the environment defaults JAX_PLATFORMS to the single real TPU
 # (one relay session per process — concurrent test processes would contend
 # for it). Tests exercise TPU *logic* on the host backend.
+#
+# NOTE: the env var alone is NOT enough here — a sitecustomize module
+# imports jax at interpreter startup, latching JAX_PLATFORMS before this
+# conftest runs. jax.config.update("jax_platforms", ...) overrides the
+# latched value as long as no backend has been initialized yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,6 +25,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/trt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

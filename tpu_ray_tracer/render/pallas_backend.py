@@ -46,6 +46,27 @@ _FAKE_ROOT = 2e6
 _RESIDUAL_TOL = 1e-5
 
 
+# --- Mosaic-lowerable transcendental substitutes ---
+# The TPU Pallas lowering has no cbrt/acos primitives (exp/log/pow/cos/sqrt
+# are available). Candidate roots only need seed-level accuracy — the Newton
+# polish supplies the final bits — so cheap substitutes suffice.
+
+def _cbrt(x):
+    """sign(x) * |x|^(1/3) via the pow lowering (exp(log|x|/3))."""
+    return jnp.sign(x) * jnp.power(jnp.abs(x), 1.0 / 3.0)
+
+
+def _acos(x):
+    """Abramowitz & Stegun 4.4.45 polynomial acos, |err| < 7e-5 rad.
+
+    acos(|x|) ~= sqrt(1-|x|) * P(|x|); negative x by acos(-x) = pi - acos(x).
+    """
+    ax = jnp.abs(x)
+    p = 1.5707288 + ax * (-0.2121144 + ax * (0.0742610 + ax * (-0.0187293)))
+    pos = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0, np.float32(math.pi) - pos, pos)
+
+
 # --- scalar-coefficient polynomial helpers (per object, tile-vectorized) ---
 
 def _powers3(x, y, z):
@@ -153,7 +174,7 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     c = t0 / s3
     s = jnp.maximum(
         jnp.maximum(jnp.abs(a), jnp.sqrt(jnp.abs(b))),
-        jnp.maximum(jnp.cbrt(jnp.abs(c)), 1e-30),
+        jnp.maximum(_cbrt(jnp.abs(c)), 1e-30),
     )
     a = a / s
     b = b / (s * s)
@@ -162,12 +183,12 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     r = (9.0 * a * b - 27.0 * c - 2.0 * a * a * a) / 54.0
     delta = q * q * q + r * r
     sq_delta = jnp.sqrt(jnp.maximum(delta, 0.0))
-    cand_cardano = pol(t=s * (jnp.cbrt(r + sq_delta) + jnp.cbrt(r - sq_delta) - a / 3.0))
+    cand_cardano = pol(t=s * (_cbrt(r + sq_delta) + _cbrt(r - sq_delta) - a / 3.0))
 
     q_neg = jnp.maximum(-q, 0.0)
     denom = jnp.sqrt(q_neg * q_neg * q_neg)
     ratio = jnp.clip(r / jnp.where(denom == 0, one, denom), -1.0, 1.0)
-    theta = jnp.arccos(ratio) / 3.0
+    theta = _acos(ratio) / 3.0
     two_sq = 2.0 * jnp.sqrt(q_neg)
     a3 = a / 3.0
     trig = [
@@ -265,14 +286,17 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             sdz = jnp.where(sph, toz, lpz)
             max_t = jnp.where(sph, 1.0, MAX_T)
 
+            # Carry the occlusion mask as f32 (0/1): Mosaic cannot carry
+            # vector<i1> through scf loops.
             def occ_body(i, occluded):
                 coef = _read_coef_row(coefs_ref, i)
                 t = _solve_object(coef, sox, soy, soz, sdx, sdy, sdz, polish_iters)
-                return occluded | ((t > EPS) & (t < max_t))
+                hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
+                return jnp.maximum(occluded, hit_f)
 
             occluded = jax.lax.fori_loop(
-                0, n_objects, occ_body, jnp.zeros_like(px, dtype=bool)
-            )
+                0, n_objects, occ_body, jnp.zeros_like(px)
+            ) > 0.5
 
             dist2 = tox * tox + toy * toy + toz * toz
             dn = jnp.sqrt(dist2)
@@ -339,9 +363,10 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         if bounces > 0:
             # reflection chain (reference update-cuda.cu:126-146) as a
             # lockstep masked loop
+            # active mask carried as f32 (0/1): no vector<i1> loop carries.
             def bounce(_, carry):
-                result, ratio, active, refl_c, point, normal, d = carry
-                enter = active & (refl_c > EPS)
+                result, ratio, active_f, refl_c, point, normal, d = carry
+                enter = (active_f > 0.5) & (refl_c > EPS)
                 ratio = jnp.where(enter, ratio * refl_c, ratio)
                 px, py, pz = point
                 nx, ny, nz = normal
@@ -369,15 +394,15 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                 normal = tuple(jnp.where(adv, n2[k], normal[k]) for k in range(3))
                 d = (jnp.where(enter, rdx, ddx), jnp.where(enter, rdy, ddy),
                      jnp.where(enter, rdz, ddz))
-                return result, ratio, adv, refl_c, point, normal, d
+                return result, ratio, adv.astype(jnp.float32), refl_c, point, normal, d
 
-            init = (result, jnp.ones_like(dx), hit, refl, point, normal,
-                    (dx, dy, dz))
-            result, ratio, active, refl_c, *_rest = jax.lax.fori_loop(
+            init = (result, jnp.ones_like(dx), hit.astype(jnp.float32), refl,
+                    point, normal, (dx, dy, dz))
+            result, ratio, active_f, refl_c, *_rest = jax.lax.fori_loop(
                 0, bounces, bounce, init
             )
             # at-cap background blend
-            enter = active & (refl_c > EPS)
+            enter = (active_f > 0.5) & (refl_c > EPS)
             rr = ratio * refl_c
             result = [
                 jnp.where(enter, (1.0 - rr) * result[k] + rr * bg[k], result[k])
