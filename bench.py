@@ -48,8 +48,9 @@ def main():
     # off-TPU, where Mosaic isn't available).
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
-        fwd = jax.jit(lambda s, c: _render_pallas_raw(
-            s, c, config.polish_iters, 0))
+        # No outer jit: the wrapper degree-partitions the object table
+        # host-side (cubics-first), then calls a jitted kernel.
+        fwd = lambda s, c: _render_pallas_raw(s, c, config.polish_iters, 0)
     else:
         fwd = jax.jit(lambda s, c: _render_image_jit(s, c, config))
     image = fwd(scene, camera)

@@ -69,13 +69,21 @@ def _acos(x):
 
 # --- scalar-coefficient polynomial helpers (per object, tile-vectorized) ---
 
-def _powers3(x, y, z):
-    """Cache powers up to 3 of three (8,128) arrays."""
+# Monomial index 10 starts the degree-<=2 block (x2..c) in the reference's
+# coefficient order (reference: include/surface.h:12-14); objects whose first
+# 10 (cubic) coefficients are exactly zero yield t3 == 0 for EVERY ray, so
+# the solver can statically skip the cubic machinery for them.
+QUAD_START = 10
+
+
+def _powers3(x, y, z, max_pow=3):
+    """Cache powers up to max_pow of three (8,128) arrays."""
     cache = [[None] * 4 for _ in range(3)]
     for axis, comp in enumerate((x, y, z)):
         cache[axis][1] = comp
         cache[axis][2] = comp * comp
-        cache[axis][3] = cache[axis][2] * comp
+        if max_pow >= 3:
+            cache[axis][3] = cache[axis][2] * comp
     return cache
 
 
@@ -88,13 +96,17 @@ def _prod(cache, pows, one):
     return one if out is None else out
 
 
-def _ray_coeffs_scalar(coef, o_pows, d_pows, one):
+def _ray_coeffs_scalar(coef, o_pows, d_pows, one, m_start=0, k_max=3):
     """t-polynomial coefficients for ONE object whose 20 coefficients are
-    traced scalars; basis products are (8,128) arrays (VPU FMAs)."""
+    traced scalars; basis products are (8,128) arrays (VPU FMAs).
+
+    m_start=QUAD_START restricts to the degree-<=2 monomials (for objects
+    with identically-zero cubic coefficients); k_max trims the returned
+    degree accordingly."""
     out = []
-    for k in range(3, -1, -1):
+    for k in range(k_max, -1, -1):
         acc = None
-        for m in range(N_COEFS):
+        for m in range(m_start, N_COEFS):
             c = coef[m]
             term_sum = None
             for w, o_p, d_p in _EXPANSION[k][m]:
@@ -110,14 +122,16 @@ def _ray_coeffs_scalar(coef, o_pows, d_pows, one):
     return out  # [t3, t2, t1, t0]
 
 
-def _eval_F_and_grad(coef, px, py, pz):
+def _eval_F_and_grad(coef, px, py, pz, m_start=0):
     """F(p), dF(p) for scalar coefficients at (8,128) points."""
-    p = _powers3(px, py, pz)
+    p = _powers3(px, py, pz, max_pow=3 if m_start == 0 else 2)
     one = jnp.ones_like(px)
     f = None
     mag = None
     g = [None, None, None]
     for m, pows in enumerate(MONOMIAL_POWERS):
+        if m < m_start:
+            continue
         mono = _prod(p, pows, one)
         term = coef[m] * mono
         f = term if f is None else f + term
@@ -135,20 +149,26 @@ def _eval_F_and_grad(coef, px, py, pz):
     return f, mag, [gi if gi is not None else zero for gi in g]
 
 
-def _polish(coef, ox, oy, oz, dx, dy, dz, t, iters):
+def _polish(coef, ox, oy, oz, dx, dy, dz, t, iters, m_start=0, reject=True):
     """Newton refinement against direct F evaluation + residual rejection
-    (kernel-local analogue of ops.roots.make_newton_polisher)."""
+    (kernel-local analogue of ops.roots.make_newton_polisher).
+
+    reject=False skips the residual test: analytic quadratic/linear roots
+    are genuine by construction (no branch misclassification is possible
+    when t3 == 0 exactly), so only cancellation needs repair."""
     seed = t
     for _ in range(iters):
         px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
-        f, _, g = _eval_F_and_grad(coef, px, py, pz)
+        f, _, g = _eval_F_and_grad(coef, px, py, pz, m_start)
         df = g[0] * dx + g[1] * dy + g[2] * dz
         ok = jnp.abs(df) > 1e-12
         step = jnp.where(ok, f / jnp.where(ok, df, 1.0), 0.0)
         t_new = t - step
         t = jnp.where(jnp.isfinite(t_new), t_new, t)
+    if not reject:
+        return t
     px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
-    f, mag, _ = _eval_F_and_grad(coef, px, py, pz)
+    f, mag, _ = _eval_F_and_grad(coef, px, py, pz, m_start)
     genuine = jnp.abs(f) <= _RESIDUAL_TOL * mag
     return jnp.where(genuine, t, jnp.where(seed < 0, seed, _FAKE_ROOT))
 
@@ -219,6 +239,36 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     )
 
 
+def _solve_quadric(coef, ox, oy, oz, dx, dy, dz, polish_iters):
+    """Reference-semantics root for an object with identically-zero cubic
+    coefficients: t3 == 0 for every ray, so only the quadratic/linear/miss
+    cascade of the reference can fire (surface_impl.h:138-154). Skips the
+    whole Cardano/trig machinery — ~10x cheaper than ``_solve_object``."""
+    one = jnp.ones_like(ox)
+    o_pows = _powers3(ox, oy, oz, max_pow=2)
+    d_pows = _powers3(dx, dy, dz, max_pow=2)
+    t2, t1, t0 = _ray_coeffs_scalar(coef, o_pows, d_pows, one,
+                                    m_start=QUAD_START, k_max=2)
+
+    pol = partial(_polish, coef, ox, oy, oz, dx, dy, dz,
+                  iters=polish_iters, m_start=QUAD_START, reject=False)
+
+    is_quad = jnp.abs(t2) > EPS
+    is_lin = jnp.abs(t1) > EPS
+
+    s2 = jnp.where(is_quad, t2, one)
+    disc = t1 * t1 - 4.0 * t2 * t0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    lo = pol(t=(-t1 - sq) / (2.0 * s2))
+    hi = pol(t=(-t1 + sq) / (2.0 * s2))
+    quad_root = jnp.where(disc < 0, -1.0, jnp.where(lo >= EPS, lo, hi))
+    lin_root = -t0 / jnp.where(is_lin, t1, one)
+
+    return jnp.where(
+        is_quad, quad_root, jnp.where(is_lin, lin_root, -1.0)
+    )
+
+
 def _read_coef_row(coefs_ref, i):
     return [coefs_ref[i, m] for m in range(N_COEFS)]
 
@@ -226,26 +276,50 @@ def _read_coef_row(coefs_ref, i):
 # --- the kernel ---
 
 def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
-                 polish_iters: int, bounces: int):
+                 polish_iters: int, bounces: int, n_cubic: int | None = None):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
+    if n_cubic is None:
+        n_cubic = n_objects  # no degree info: treat every object as cubic
 
-    def nearest_hit(coefs_ref, ox, oy, oz, dx, dy, dz):
-        """Best valid hit over all objects (reference update-cuda.cu:65-77)."""
+    def nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz):
+        """Best valid hit over all objects (reference update-cuda.cu:65-77).
+
+        Objects are laid out cubics-first (host-side partition); slots
+        >= n_cubic take the cheap quadric solve. The reference scans in
+        original order with strict <, so ties are broken by the ORIGINAL
+        index (orig_ref), not the permuted slot."""
         one = jnp.ones_like(ox)
 
-        def body(i, carry):
-            best_t, best_idx = carry
-            coef = _read_coef_row(coefs_ref, i)
-            t = _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters)
-            valid = (t >= EPS) & (t < MAX_T)
-            better = valid & (t < best_t)
-            best_t = jnp.where(better, t, best_t)
-            best_idx = jnp.where(better, i, best_idx)
-            return best_t, best_idx
+        def make_body(solver):
+            def body(i, carry):
+                best_t, best_idx, best_orig = carry
+                coef = _read_coef_row(coefs_ref, i)
+                t = solver(coef, ox, oy, oz, dx, dy, dz, polish_iters)
+                valid = (t >= EPS) & (t < MAX_T)
+                orig = orig_ref[i]
+                better = valid & (
+                    (t < best_t) | ((t == best_t) & (orig < best_orig))
+                )
+                best_t = jnp.where(better, t, best_t)
+                best_idx = jnp.where(better, i, best_idx)
+                best_orig = jnp.where(better, orig, best_orig)
+                return best_t, best_idx, best_orig
 
-        init = (jnp.full_like(one, MAX_T), jnp.full_like(one, -1, dtype=jnp.int32))
-        best_t, best_idx = jax.lax.fori_loop(0, n_objects, body, init)
+            return body
+
+        carry = (
+            jnp.full_like(one, MAX_T),
+            jnp.full_like(one, -1, dtype=jnp.int32),
+            jnp.full_like(one, np.int32(2**30), dtype=jnp.int32),
+        )
+        if n_cubic > 0:
+            carry = jax.lax.fori_loop(0, n_cubic, make_body(_solve_object), carry)
+        if n_cubic < n_objects:
+            carry = jax.lax.fori_loop(
+                n_cubic, n_objects, make_body(_solve_quadric), carry
+            )
+        best_t, best_idx, _ = carry
         hit = best_idx >= 0
         return hit, best_idx, jnp.where(hit, best_t, 0.0)
 
@@ -288,15 +362,25 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
             # Carry the occlusion mask as f32 (0/1): Mosaic cannot carry
             # vector<i1> through scf loops.
-            def occ_body(i, occluded):
-                coef = _read_coef_row(coefs_ref, i)
-                t = _solve_object(coef, sox, soy, soz, sdx, sdy, sdz, polish_iters)
-                hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
-                return jnp.maximum(occluded, hit_f)
+            def make_occ_body(solver):
+                def occ_body(i, occluded):
+                    coef = _read_coef_row(coefs_ref, i)
+                    t = solver(coef, sox, soy, soz, sdx, sdy, sdz, polish_iters)
+                    hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
+                    return jnp.maximum(occluded, hit_f)
 
-            occluded = jax.lax.fori_loop(
-                0, n_objects, occ_body, jnp.zeros_like(px)
-            ) > 0.5
+                return occ_body
+
+            occluded_f = jnp.zeros_like(px)
+            if n_cubic > 0:
+                occluded_f = jax.lax.fori_loop(
+                    0, n_cubic, make_occ_body(_solve_object), occluded_f
+                )
+            if n_cubic < n_objects:
+                occluded_f = jax.lax.fori_loop(
+                    n_cubic, n_objects, make_occ_body(_solve_quadric), occluded_f
+                )
+            occluded = occluded_f > 0.5
 
             dist2 = tox * tox + toy * toy + toz * toz
             dn = jnp.sqrt(dist2)
@@ -319,16 +403,17 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         inv = 1.0 / jnp.where(norm > 0, norm, 1.0)
         return g[0] * inv, g[1] * inv, g[2] * inv
 
-    def trace_and_shade(coefs_ref, colors_ref, refl_ref, lights_ref,
+    def trace_and_shade(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
                         ox, oy, oz, dx, dy, dz):
-        hit, idx, t = nearest_hit(coefs_ref, ox, oy, oz, dx, dy, dz)
+        hit, idx, t = nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz)
         px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
         sel_coef, obj_col, refl = gather_object(coefs_ref, colors_ref, refl_ref, idx)
         nx, ny, nz = normal_at(sel_coef, px, py, pz)
         lit = shade(coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz)
         return hit, idx, refl, (px, py, pz), (nx, ny, nz), lit
 
-    def kernel(coefs_ref, colors_ref, refl_ref, lights_ref, cam_ref, out_ref):
+    def kernel(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref, cam_ref,
+               out_ref):
         # --- ray generation (reference update-cuda.cu:111-116) ---
         pid = pl.program_id(0)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
@@ -356,7 +441,8 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         bg = (cam_ref[14], cam_ref[15], cam_ref[16])
 
         hit, idx, refl, point, normal, lit = trace_and_shade(
-            coefs_ref, colors_ref, refl_ref, lights_ref, ox, oy, oz, dx, dy, dz
+            coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
+            ox, oy, oz, dx, dy, dz
         )
         result = [jnp.where(hit, lit[k], bg[k]) for k in range(3)]
 
@@ -379,7 +465,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                 noy = py + SHADOW_BIAS * ny
                 noz = pz + SHADOW_BIAS * nz
                 h2, _i2, r2, p2, n2, l2 = trace_and_shade(
-                    coefs_ref, colors_ref, refl_ref, lights_ref,
+                    coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
                     nox, noy, noz, rdx, rdy, rdz,
                 )
                 bcol = [jnp.where(h2, l2[k], bg[k]) for k in range(3)]
@@ -449,9 +535,55 @@ import os
 _INTERPRET = os.environ.get("TRT_PALLAS_INTERPRET", "0") == "1"
 
 
-@partial(jax.jit, static_argnames=("polish_iters", "bounces"))
+def _degree_partition(coefs):
+    """Host-side cubics-first permutation from CONCRETE coefficients.
+
+    Returns (perm, n_cubic): perm lists original object indices, cubic
+    objects first (stable order within each class). An object is "cubic"
+    iff any of its 10 cubic monomial coefficients is nonzero; otherwise
+    t3 == 0 identically and only the reference's quadratic/linear branches
+    can ever fire for it, so the partition is semantics-preserving."""
+    cc = np.asarray(coefs)
+    is_cubic = (np.abs(cc[:, :QUAD_START]) > 0).any(axis=1)
+    perm = np.argsort(~is_cubic, kind="stable").astype(np.int32)
+    return perm, int(is_cubic.sum())
+
+
+# Tiny memo so the per-frame hot loop doesn't re-derive the partition (a
+# host-side np reduction over [N, 10]) for the same coefficient table.
+_PARTITION_CACHE: dict = {}
+
+
 def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
                        polish_iters: int, bounces: int):
+    """Non-jitted wrapper: degree-partitions the object table host-side
+    (cubics first), then dispatches the jitted kernel with the permutation
+    as STATIC data (compiled in — the scene arrays pass through unchanged,
+    so per-frame calls hit the jit cache with zero extra transfers). Under
+    tracing (e.g. inside an outer jit/grad where coefficients are abstract)
+    the partition is unavailable and every object takes the cubic solve."""
+    if isinstance(scene.coefs, jax.core.Tracer) or scene.n_objects == 0:
+        perm = tuple(range(scene.n_objects))
+        n_cubic = scene.n_objects
+    else:
+        key = id(scene.coefs)
+        cached = _PARTITION_CACHE.get(key)
+        if cached is None:
+            p, n_cubic = _degree_partition(scene.coefs)
+            cached = (tuple(int(i) for i in p), n_cubic)
+            if len(_PARTITION_CACHE) > 64:
+                _PARTITION_CACHE.clear()
+            _PARTITION_CACHE[key] = cached
+        perm, n_cubic = cached
+    return _render_pallas_jit(scene, camera, polish_iters, bounces,
+                              n_cubic, perm)
+
+
+@partial(jax.jit,
+         static_argnames=("polish_iters", "bounces", "n_cubic", "perm"))
+def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
+                       polish_iters: int, bounces: int, n_cubic: int,
+                       perm: tuple):
     height, width = scene.height, scene.width
     n_px = height * width
     n_tiles = -(-n_px // TILE_PX)
@@ -459,17 +591,32 @@ def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
 
     scene32 = scene.astype(jnp.float32)
     camera32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), camera)
+    # Apply the static cubics-first permutation inside jit: XLA constant-
+    # folds the gather, and callers' scene arrays stay cache-stable.
+    orig_index = jnp.asarray(np.asarray(perm, np.int32))
+    if any(perm[i] != i for i in range(len(perm))):
+        import dataclasses as _dc
+
+        idx = jnp.asarray(np.asarray(perm, np.int64))
+        scene32 = _dc.replace(
+            scene32,
+            coefs=jnp.take(scene32.coefs, idx, axis=0),
+            colors=jnp.take(scene32.colors, idx, axis=0),
+            reflection=jnp.take(scene32.reflection, idx, axis=0),
+        )
     lights = _pack_lights(scene32)
     cam = _pack_camera(scene32, camera32)
 
     kernel = _make_kernel(
-        scene.n_objects, scene.n_lights, width, height, polish_iters, bounces
+        scene.n_objects, scene.n_lights, width, height, polish_iters, bounces,
+        n_cubic=n_cubic,
     )
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 20]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # orig index [N] i32
             pl.BlockSpec(memory_space=pltpu.SMEM),  # colors [N, 3]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # refl [N]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 7]
@@ -484,6 +631,7 @@ def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
         interpret=_INTERPRET,
     )(
         scene32.coefs,
+        orig_index.astype(jnp.int32),
         scene32.colors,
         scene32.reflection,
         lights,
