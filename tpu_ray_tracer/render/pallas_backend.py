@@ -15,9 +15,15 @@ The math is the same refined f32 scheme as the XLA pipeline
 solve for candidate roots, direct-evaluation Newton refinement, residual
 rejection of phantom candidates, smallest-genuine-root selection.
 
-The public entry ``render_image_pallas`` is differentiable: its custom VJP
-recomputes through the (mathematically identical) XLA pipeline, so the fused
-kernel serves the forward hot path while autodiff uses the composable graph.
+The public entry ``render_image_pallas`` is differentiable. For bounce-free
+renders the backward pass is a second fused Pallas kernel: the forward saves
+per-pixel (root t, hit slot, shadow-occlusion bitmask), so the backward runs
+ZERO root solves — it regenerates the ray, reconstructs the hit, and applies
+closed-form reverse rules (shading chain, normal via gradient+Hessian of F,
+implicit-function-theorem root derivative, camera ray-gen), accumulating
+parameter gradients in VMEM across the sequential tile grid. With
+reflections the VJP falls back to recomputing through the (mathematically
+identical) XLA pipeline.
 """
 
 from __future__ import annotations
@@ -276,7 +282,8 @@ def _read_coef_row(coefs_ref, i):
 # --- the kernel ---
 
 def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
-                 polish_iters: int, bounces: int, n_cubic: int | None = None):
+                 polish_iters: int, bounces: int, n_cubic: int | None = None,
+                 save_aux: bool = False):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
     if n_cubic is None:
@@ -340,9 +347,12 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
     def shade(coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz):
         """Shadow-tested Lambertian sum over lights, clamped
-        (reference update-cpu.cpp:60-77)."""
+        (reference update-cpu.cpp:60-77). Also returns the per-pixel
+        occlusion bitmask (bit li set iff light li is shadowed) so the
+        backward kernel can skip re-running the occlusion solves."""
         zero = jnp.zeros_like(px)
         acc = [zero, zero, zero]
+        occ_bits = jnp.zeros_like(px, dtype=jnp.int32)
         sox = px + SHADOW_BIAS * nx
         soy = py + SHADOW_BIAS * ny
         soz = pz + SHADOW_BIAS * nz
@@ -381,6 +391,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                     n_cubic, n_objects, make_occ_body(_solve_quadric), occluded_f
                 )
             occluded = occluded_f > 0.5
+            occ_bits = occ_bits | (occluded_f.astype(jnp.int32) * (1 << li))
 
             dist2 = tox * tox + toy * toy + toz * toz
             dn = jnp.sqrt(dist2)
@@ -395,7 +406,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             acc[0] = acc[0] + obj_col[0] * lcr * scale
             acc[1] = acc[1] + obj_col[1] * lcg * scale
             acc[2] = acc[2] + obj_col[2] * lcb * scale
-        return [jnp.minimum(1.0, a) for a in acc]
+        return [jnp.minimum(1.0, a) for a in acc], occ_bits
 
     def normal_at(sel_coef, px, py, pz):
         _, _, g = _eval_F_and_grad(sel_coef, px, py, pz)
@@ -409,11 +420,13 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
         sel_coef, obj_col, refl = gather_object(coefs_ref, colors_ref, refl_ref, idx)
         nx, ny, nz = normal_at(sel_coef, px, py, pz)
-        lit = shade(coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz)
-        return hit, idx, refl, (px, py, pz), (nx, ny, nz), lit
+        lit, occ_bits = shade(
+            coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz
+        )
+        return hit, idx, refl, (px, py, pz), (nx, ny, nz), lit, (t, occ_bits)
 
     def kernel(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref, cam_ref,
-               out_ref):
+               out_ref, *aux_refs):
         # --- ray generation (reference update-cuda.cu:111-116) ---
         pid = pl.program_id(0)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
@@ -440,11 +453,17 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
         bg = (cam_ref[14], cam_ref[15], cam_ref[16])
 
-        hit, idx, refl, point, normal, lit = trace_and_shade(
+        hit, idx, refl, point, normal, lit, aux = trace_and_shade(
             coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
             ox, oy, oz, dx, dy, dz
         )
         result = [jnp.where(hit, lit[k], bg[k]) for k in range(3)]
+        if save_aux:
+            t_ref, slot_ref, occ_ref = aux_refs
+            t_hit, occ_bits = aux
+            t_ref[:, :] = jnp.where(hit, t_hit, 0.0)
+            slot_ref[:, :] = jnp.where(hit, idx, -1)
+            occ_ref[:, :] = occ_bits
 
         if bounces > 0:
             # reflection chain (reference update-cuda.cu:126-146) as a
@@ -464,7 +483,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                 nox = px + SHADOW_BIAS * nx
                 noy = py + SHADOW_BIAS * ny
                 noz = pz + SHADOW_BIAS * nz
-                h2, _i2, r2, p2, n2, l2 = trace_and_shade(
+                h2, _i2, r2, p2, n2, l2, _aux2 = trace_and_shade(
                     coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
                     nox, noy, noz, rdx, rdy, rdz,
                 )
@@ -579,39 +598,36 @@ def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
                               n_cubic, perm)
 
 
-@partial(jax.jit,
-         static_argnames=("polish_iters", "bounces", "n_cubic", "perm"))
-def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
-                       polish_iters: int, bounces: int, n_cubic: int,
-                       perm: tuple):
-    height, width = scene.height, scene.width
+def _grid_geometry(width: int, height: int):
     n_px = height * width
     n_tiles = -(-n_px // TILE_PX)
-    rows_padded = n_tiles * TILE_ROWS
+    return n_px, n_tiles, n_tiles * TILE_ROWS
 
-    scene32 = scene.astype(jnp.float32)
-    camera32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), camera)
-    # Apply the static cubics-first permutation inside jit: XLA constant-
-    # folds the gather, and callers' scene arrays stay cache-stable.
-    orig_index = jnp.asarray(np.asarray(perm, np.int32))
-    if any(perm[i] != i for i in range(len(perm))):
-        import dataclasses as _dc
 
-        idx = jnp.asarray(np.asarray(perm, np.int64))
-        scene32 = _dc.replace(
-            scene32,
-            coefs=jnp.take(scene32.coefs, idx, axis=0),
-            colors=jnp.take(scene32.colors, idx, axis=0),
-            reflection=jnp.take(scene32.reflection, idx, axis=0),
-        )
-    lights = _pack_lights(scene32)
-    cam = _pack_camera(scene32, camera32)
-
+def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
+                  n_objects: int, n_lights: int, width: int, height: int,
+                  polish_iters: int, bounces: int, n_cubic: int,
+                  save_aux: bool):
+    """Launch the forward kernel on packed tables -> [H, W, 3] image
+    (+ per-pixel (t, slot, occ-bitmask) aux when save_aux)."""
+    n_px, n_tiles, rows_padded = _grid_geometry(width, height)
     kernel = _make_kernel(
-        scene.n_objects, scene.n_lights, width, height, polish_iters, bounces,
-        n_cubic=n_cubic,
+        n_objects, n_lights, width, height, polish_iters, bounces,
+        n_cubic=n_cubic, save_aux=save_aux,
     )
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((3, rows_padded, TILE_LANES), jnp.float32)]
+    out_specs = [pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if save_aux:
+        tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shapes += [
+            jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.float32),  # t
+            jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.int32),   # slot
+            jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.int32),   # occ
+        ]
+        out_specs += [tile_spec, tile_spec, tile_spec]
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -622,23 +638,425 @@ def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 7]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # camera [17]
         ],
-        out_specs=pl.BlockSpec(
-            (3, TILE_ROWS, TILE_LANES),
-            lambda i: (0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, rows_padded, TILE_LANES), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=_INTERPRET,
-    )(
-        scene32.coefs,
-        orig_index.astype(jnp.int32),
-        scene32.colors,
-        scene32.reflection,
-        lights,
-        cam,
-    )
+    )(coefs, orig_index, colors, refl, lights, cam)
+    out = outs[0]
     flat = out.reshape(3, rows_padded * TILE_LANES)[:, :n_px]
-    return jnp.transpose(flat.reshape(3, height, width), (1, 2, 0))
+    image = jnp.transpose(flat.reshape(3, height, width), (1, 2, 0))
+    if save_aux:
+        return image, outs[1], outs[2], outs[3]
+    return image
+
+
+@partial(jax.jit,
+         static_argnames=("polish_iters", "bounces", "n_cubic", "perm"))
+def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
+                       polish_iters: int, bounces: int, n_cubic: int,
+                       perm: tuple):
+    scene32 = scene.astype(jnp.float32)
+    camera32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), camera)
+    # Apply the static cubics-first permutation inside jit: XLA constant-
+    # folds the gather, and callers' scene arrays stay cache-stable. The
+    # permutation is expressed with jnp.take so its VJP (a scatter-add back
+    # to original order) composes with the fused backward kernel below.
+    orig_index = jnp.asarray(np.asarray(perm, np.int32))
+    coefs, colors, refl = scene32.coefs, scene32.colors, scene32.reflection
+    if any(perm[i] != i for i in range(len(perm))):
+        idx = jnp.asarray(np.asarray(perm, np.int64))
+        coefs = jnp.take(coefs, idx, axis=0)
+        colors = jnp.take(colors, idx, axis=0)
+        refl = jnp.take(refl, idx, axis=0)
+    lights = _pack_lights(scene32)
+    cam = _pack_camera(scene32, camera32)
+
+    if bounces == 0 and 0 < scene.n_objects and scene.n_lights <= 31:
+        # differentiable path: fused forward + fused analytic backward
+        return _packed_render(
+            coefs, colors, refl, lights, cam,
+            scene.width, scene.height, polish_iters, n_cubic, perm,
+        )
+    return _dispatch_fwd(
+        coefs, orig_index, colors, refl, lights, cam,
+        n_objects=scene.n_objects, n_lights=scene.n_lights,
+        width=scene.width, height=scene.height,
+        polish_iters=polish_iters, bounces=bounces, n_cubic=n_cubic,
+        save_aux=False,
+    )
+
+
+# --- fused backward kernel -------------------------------------------------
+#
+# The forward kernel saves per-pixel (t, hit slot, shadow-occlusion bitmask);
+# given those, the backward pass needs NO root solves at all: it regenerates
+# the ray, reconstructs the hit point, and applies closed-form reverse-mode
+# rules through shading, the normal (gradient + Hessian of F), the implicit-
+# function-theorem root derivative, and camera ray generation — mirroring
+# exactly what jax.grad produces for the XLA pipeline (ops/intersect.py
+# _intersect_bwd + autodiff of render/pipeline.py trace_and_shade), but fused
+# into one VPU pass per tile. Parameter gradients accumulate into a single
+# [rows, 128] VMEM block across the (sequential) TPU grid; lanes are summed
+# outside the kernel.
+
+_GRAZING_CLAMP = 1e-6  # matches ops.intersect._GRAZING_CLAMP
+
+
+def _mono_fields(cache, one):
+    """All 20 monomial values at the cached point powers."""
+    return [_prod(cache, pows, one) for pows in MONOMIAL_POWERS]
+
+
+def _dmono_fields(cache, one, axis):
+    """d(monomial_m)/d(axis) for all 20 monomials (None = identically 0)."""
+    out = []
+    for pows in MONOMIAL_POWERS:
+        e = pows[axis]
+        if e == 0:
+            out.append(None)
+            continue
+        dp = list(pows)
+        dp[axis] = e - 1
+        f = _prod(cache, tuple(dp), one)
+        out.append(f if e == 1 else f * float(e))
+    return out
+
+
+def _hessian_apply(coef, cache, one, v):
+    """(H @ v)_b where H is the Hessian of F = sum_m coef_m * mono_m at the
+    cached point — the closed-form second-derivative table of the 20-monomial
+    basis (degree <= 3, so entries are at most linear in the point)."""
+    out = [None, None, None]
+    for m, pows in enumerate(MONOMIAL_POWERS):
+        for a in range(3):
+            ea = pows[a]
+            if ea == 0:
+                continue
+            for b in range(3):
+                p2 = list(pows)
+                if a == b:
+                    if ea < 2:
+                        continue
+                    fac = float(ea * (ea - 1))
+                    p2[a] = ea - 2
+                else:
+                    eb = pows[b]
+                    if eb == 0:
+                        continue
+                    fac = float(ea * eb)
+                    p2[a] = ea - 1
+                    p2[b] = eb - 1
+                field = coef[m] * (_prod(cache, tuple(p2), one) * fac) * v[a]
+                out[b] = field if out[b] is None else out[b] + field
+    zero = jnp.zeros_like(one)
+    return [o if o is not None else zero for o in out]
+
+
+def _acc_layout(n_objects: int, n_lights: int):
+    """Row assignment in the gradient accumulator: cam[17] | coefs[N*20] |
+    colors[N*3] | lights[L*7]."""
+    row_cam = 0
+    row_coefs = 17
+    row_colors = row_coefs + n_objects * N_COEFS
+    row_lights = row_colors + n_objects * 3
+    total = row_lights + n_lights * 7
+    return row_cam, row_coefs, row_colors, row_lights, total
+
+
+def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
+    inv_pi = np.float32(1.0 / math.pi)
+    four_pi = np.float32(4.0 * math.pi)
+    row_cam, row_coefs, row_colors, row_lights, total_rows = _acc_layout(
+        n_objects, n_lights
+    )
+
+    def kernel(coefs_ref, colors_ref, lights_ref, cam_ref,
+               g_ref, t_ref, slot_ref, occ_ref, acc_ref):
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _init():
+            acc_ref[:, :] = jnp.zeros((acc_ref.shape[0], TILE_LANES), jnp.float32)
+
+        contrib = {}
+
+        def add(row, field):
+            contrib[row] = field if row not in contrib else contrib[row] + field
+
+        # --- regenerate the ray (identical math to the forward kernel) ---
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
+        pixel = pid * TILE_PX + row_ids * TILE_LANES + lane_ids
+        pix_y = pixel // width
+        pix_x = pixel - pix_y * width
+        ndc_x = (pix_x.astype(jnp.float32) + 0.5) * np.float32(1.0 / width)
+        ndc_y = (pix_y.astype(jnp.float32) + 0.5) * np.float32(1.0 / height)
+        gxf = 2.0 * ndc_x - 1.0
+        gyf = 2.0 * ndc_y - 1.0
+        at = cam_ref[12]
+        tanf = cam_ref[13]
+        cx = gxf * at
+        cy = gyf * tanf
+        tx = cx * cam_ref[0] + cy * cam_ref[3] + cam_ref[6]
+        ty = cx * cam_ref[1] + cy * cam_ref[4] + cam_ref[7]
+        tz = cx * cam_ref[2] + cy * cam_ref[5] + cam_ref[8]
+        inv_len = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz)
+        d = [tx * inv_len, ty * inv_len, tz * inv_len]
+
+        g = [g_ref[0, :, :], g_ref[1, :, :], g_ref[2, :, :]]
+        t = t_ref[:, :]
+        slot = slot_ref[:, :]
+        occ = occ_ref[:, :]
+        hit = slot >= 0
+        hitf = hit.astype(jnp.float32)
+        missf = 1.0 - hitf
+        one = jnp.ones_like(t)
+
+        # background: result = where(hit, lit, bg)
+        for k in range(3):
+            add(row_cam + 14 + k, g[k] * missf)
+
+        # --- reconstruct the hit state ---
+        zero = jnp.zeros_like(t)
+        sel = [zero] * N_COEFS
+        objc = [zero] * 3
+        for i in range(n_objects):
+            m = slot == i
+            for k in range(N_COEFS):
+                sel[k] = jnp.where(m, coefs_ref[i, k], sel[k])
+            for k in range(3):
+                objc[k] = jnp.where(m, colors_ref[i, k], objc[k])
+        p = [cam_ref[9] + t * d[0], cam_ref[10] + t * d[1], cam_ref[11] + t * d[2]]
+        pcache = _powers3(p[0], p[1], p[2])
+        _f, _mag, gF = _eval_F_and_grad(sel, p[0], p[1], p[2])
+        nu = jnp.sqrt(gF[0] * gF[0] + gF[1] * gF[1] + gF[2] * gF[2])
+        inv_nu = 1.0 / jnp.where(nu > 0, nu, 1.0)
+        n = [gF[k] * inv_nu for k in range(3)]
+
+        def light_terms(li):
+            """Recompute the forward shading quantities for light li."""
+            is_sph = lights_ref[li, 0]
+            sph = is_sph > 0.5
+            lp = [lights_ref[li, 1], lights_ref[li, 2], lights_ref[li, 3]]
+            lc = [lights_ref[li, 4], lights_ref[li, 5], lights_ref[li, 6]]
+            to = [lp[k] - p[k] for k in range(3)]
+            dist2 = to[0] * to[0] + to[1] * to[1] + to[2] * to[2]
+            dn = jnp.sqrt(dist2)
+            inv_dn = 1.0 / jnp.where(dn > 0, dn, 1.0)
+            unit = [to[k] * inv_dn for k in range(3)]
+            ld = [jnp.where(sph, unit[k], lp[k]) for k in range(3)]
+            colr = [jnp.where(sph, lc[k] / (four_pi * dist2), lc[k])
+                    for k in range(3)]
+            ndotl = n[0] * ld[0] + n[1] * ld[1] + n[2] * ld[2]
+            lam = jnp.maximum(0.0, ndotl)
+            occ_l = jnp.bitwise_and(
+                jax.lax.shift_right_logical(occ, np.int32(li)), np.int32(1)
+            ).astype(jnp.float32)
+            notocc = 1.0 - occ_l
+            return sph, lp, lc, to, dist2, inv_dn, unit, ld, colr, ndotl, lam, notocc
+
+        # pass 1: pre-clamp lit sum decides the min(1, .) gradient mask
+        lit = [zero, zero, zero]
+        for li in range(n_lights):
+            _sph, _lp, _lc, _to, _d2, _idn, _u, _ld, colr, _nl, lam, notocc = (
+                light_terms(li)
+            )
+            s = lam * inv_pi * notocc
+            for c in range(3):
+                lit[c] = lit[c] + objc[c] * colr[c] * s
+        dlit = [g[c] * hitf * (lit[c] < 1.0).astype(jnp.float32)
+                for c in range(3)]
+
+        # pass 2: reverse through each light's contribution
+        dn_acc = [zero, zero, zero]
+        dpoint = [zero, zero, zero]
+        dobjc = [zero, zero, zero]
+        for li in range(n_lights):
+            sph, lp, lc, to, dist2, inv_dn, unit, ld, colr, ndotl, lam, notocc = (
+                light_terms(li)
+            )
+            u_lam = [dlit[c] * notocc for c in range(3)]
+            dlam = zero
+            ddist2 = zero
+            for c in range(3):
+                # contrib_c = objc_c * inv_pi * colr_c * lam
+                dobjc[c] = dobjc[c] + u_lam[c] * inv_pi * colr[c] * lam
+                dcol_c = u_lam[c] * objc[c] * inv_pi * lam
+                dlam = dlam + u_lam[c] * objc[c] * inv_pi * colr[c]
+                # colr_c = where(sph, lc_c / (4 pi dist2), lc_c)
+                add(row_lights + li * 7 + 4 + c,
+                    jnp.where(sph, dcol_c / (four_pi * dist2), dcol_c))
+                ddist2 = ddist2 - jnp.where(sph, dcol_c * colr[c] / dist2, 0.0)
+            dndotl = dlam * (ndotl > 0).astype(jnp.float32)
+            dld = [dndotl * n[k] for k in range(3)]
+            for k in range(3):
+                dn_acc[k] = dn_acc[k] + dndotl * ld[k]
+            # ld = where(sph, to/|to|, lp); dist2 = |to|^2 (spherical only)
+            udot = unit[0] * dld[0] + unit[1] * dld[1] + unit[2] * dld[2]
+            for k in range(3):
+                dto_k = (dld[k] - unit[k] * udot) * inv_dn + 2.0 * to[k] * ddist2
+                dto_k = jnp.where(sph, dto_k, 0.0)
+                add(row_lights + li * 7 + 1 + k, jnp.where(sph, dto_k, dld[k]))
+                dpoint[k] = dpoint[k] - dto_k
+
+        # --- normal backward: n = gF / |gF| ---
+        ndotdn = n[0] * dn_acc[0] + n[1] * dn_acc[1] + n[2] * dn_acc[2]
+        dgF = [(dn_acc[k] - n[k] * ndotdn) * inv_nu for k in range(3)]
+        # gF depends on (sel, point): d sel via d(grad mono); d point via Hessian
+        dsel = [zero] * N_COEFS
+        for axis in range(3):
+            dmono = _dmono_fields(pcache, one, axis)
+            for m in range(N_COEFS):
+                if dmono[m] is not None:
+                    dsel[m] = dsel[m] + dgF[axis] * dmono[m]
+        hv = _hessian_apply(sel, pcache, one, dgF)
+        for k in range(3):
+            dpoint[k] = dpoint[k] + hv[k]
+
+        # --- point backward: p = o + t d ---
+        dt = dpoint[0] * d[0] + dpoint[1] * d[1] + dpoint[2] * d[2]
+        do = list(dpoint)
+        dd = [t * dpoint[k] for k in range(3)]
+
+        # --- implicit-function-theorem root backward ---
+        df_dt = gF[0] * d[0] + gF[1] * d[1] + gF[2] * d[2]
+        valid = hit & (jnp.abs(df_dt) > _GRAZING_CLAMP)
+        sc = dt * jnp.where(valid, -1.0 / jnp.where(valid, df_dt, 1.0), 0.0)
+        mono = _mono_fields(pcache, one)
+        for m in range(N_COEFS):
+            dsel[m] = dsel[m] + sc * mono[m]
+        for k in range(3):
+            do[k] = do[k] + sc * gF[k]
+            dd[k] = dd[k] + sc * t * gF[k]
+
+        # --- scatter per-object gradients ---
+        for i in range(n_objects):
+            m = slot == i
+            for k in range(N_COEFS):
+                add(row_coefs + i * N_COEFS + k, jnp.where(m, dsel[k], 0.0))
+            for c in range(3):
+                add(row_colors + i * 3 + c, jnp.where(m, dobjc[c], 0.0))
+
+        # --- camera backward: d = target / |target| ---
+        dddot = d[0] * dd[0] + d[1] * dd[1] + d[2] * dd[2]
+        dtg = [(dd[k] - d[k] * dddot) * inv_len for k in range(3)]
+        for k in range(3):
+            add(row_cam + k, cx * dtg[k])        # column 0
+            add(row_cam + 3 + k, cy * dtg[k])    # column 1
+            add(row_cam + 6 + k, dtg[k])         # column 2
+            add(row_cam + 9 + k, do[k])          # eye
+        dcx = dtg[0] * cam_ref[0] + dtg[1] * cam_ref[1] + dtg[2] * cam_ref[2]
+        dcy = dtg[0] * cam_ref[3] + dtg[1] * cam_ref[4] + dtg[2] * cam_ref[5]
+        add(row_cam + 12, gxf * dcx)             # aspect * tan_half_fov
+        add(row_cam + 13, gyf * dcy)             # tan_half_fov
+
+        # --- flush: one sublane-reduced RMW per touched accumulator row ---
+        for r in sorted(contrib):
+            acc_ref[r:r + 1, :] = acc_ref[r:r + 1, :] + jnp.sum(
+                contrib[r], axis=0, keepdims=True
+            )
+
+    return kernel, total_rows
+
+
+def _dispatch_bwd(coefs, colors, lights, cam, g_tiles, t, slot, occ, *,
+                  n_objects: int, n_lights: int, width: int, height: int):
+    """Launch the backward kernel -> gradient accumulator [rows, 128]."""
+    _, n_tiles, _ = _grid_geometry(width, height)
+    kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height)
+    tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 20]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # colors [N, 3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 7]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera [17]
+            pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),  # cotangent
+            tile_spec,                              # t
+            tile_spec,                              # slot
+            tile_spec,                              # occ bits
+        ],
+        out_specs=pl.BlockSpec((total_rows, TILE_LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.float32),
+        interpret=_INTERPRET,
+    )(coefs, colors, lights, cam, g_tiles, t, slot, occ)
+    return acc
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
+                   polish_iters: int, n_cubic: int, perm: tuple):
+    """Forward render on packed (permuted) tables, bounces == 0.
+
+    custom_vjp pair: forward saves per-pixel (t, slot, occlusion bits) from
+    the fused kernel; backward is the fused analytic kernel above — no root
+    solves anywhere in the backward pass."""
+    orig_index = jnp.asarray(np.asarray(perm, np.int32))
+    return _dispatch_fwd(
+        coefs, orig_index, colors, refl, lights, cam,
+        n_objects=len(perm), n_lights=lights.shape[0],
+        width=width, height=height, polish_iters=polish_iters,
+        bounces=0, n_cubic=n_cubic, save_aux=False,
+    )
+
+
+def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
+                polish_iters, n_cubic, perm):
+    orig_index = jnp.asarray(np.asarray(perm, np.int32))
+    image, t, slot, occ = _dispatch_fwd(
+        coefs, orig_index, colors, refl, lights, cam,
+        n_objects=len(perm), n_lights=lights.shape[0],
+        width=width, height=height, polish_iters=polish_iters,
+        bounces=0, n_cubic=n_cubic, save_aux=True,
+    )
+    return image, (coefs, colors, refl, lights, cam, t, slot, occ)
+
+
+def _packed_bwd(width, height, polish_iters, n_cubic, perm, res, g):
+    coefs, colors, refl, lights, cam, t, slot, occ = res
+    n_objects = len(perm)
+    n_lights = lights.shape[0]
+    n_px, n_tiles, rows_padded = _grid_geometry(width, height)
+
+    # cotangent [H, W, 3] -> padded tile layout [3, rows_padded, 128]
+    # (exact inverse of the forward output postprocessing)
+    gt = jnp.transpose(jnp.asarray(g, jnp.float32), (2, 0, 1)).reshape(3, n_px)
+    pad = rows_padded * TILE_LANES - n_px
+    if pad:
+        gt = jnp.pad(gt, ((0, 0), (0, pad)))
+    g_tiles = gt.reshape(3, rows_padded, TILE_LANES)
+
+    acc = _dispatch_bwd(
+        coefs, colors, lights, cam, g_tiles, t, slot, occ,
+        n_objects=n_objects, n_lights=n_lights, width=width, height=height,
+    )
+    vec = jnp.sum(acc, axis=1)  # lane reduction
+    row_cam, row_coefs, row_colors, row_lights, _total = _acc_layout(
+        n_objects, n_lights
+    )
+    dcam = vec[row_cam:row_cam + 17]
+    dcoefs = vec[row_coefs:row_coefs + n_objects * N_COEFS].reshape(
+        n_objects, N_COEFS
+    )
+    dcolors = vec[row_colors:row_colors + n_objects * 3].reshape(n_objects, 3)
+    dlights = vec[row_lights:row_lights + n_lights * 7].reshape(n_lights, 7)
+    # column 0 of the light table is the non-differentiable spherical flag
+    dlights = dlights * jnp.array([0.0] + [1.0] * 6, jnp.float32)
+    return (
+        dcoefs.astype(coefs.dtype),
+        dcolors.astype(colors.dtype),
+        jnp.zeros_like(refl),
+        dlights.astype(lights.dtype),
+        dcam.astype(cam.dtype),
+    )
+
+
+_packed_render.defvjp(_packed_fwd, _packed_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -670,8 +1088,11 @@ def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
                         polish_iters: int = 3, bounces: int | None = None):
     """Render a full frame with the fused Pallas kernel -> [H, W, 3] f32.
 
-    Differentiable: the backward pass recomputes through the XLA pipeline
-    (identical math), so ``jax.grad`` works on losses of this output.
+    Differentiable. For bounce-free renders the backward pass is the fused
+    analytic Pallas kernel (``_make_bwd_kernel``) — forward saves per-pixel
+    (t, slot, occlusion bits), so the backward runs zero root solves. With
+    reflections the backward falls back to recomputing through the
+    (mathematically identical) XLA pipeline.
     """
     if camera is None:
         camera = camera_ops.Camera.initial(jnp.float32)
@@ -679,4 +1100,8 @@ def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
         bounces = xla_pipeline.resolve_bounces(
             scene, xla_pipeline.RenderConfig()
         )
+    if bounces == 0 and scene.n_objects > 0 and scene.n_lights <= 31:
+        # _render_pallas_jit routes to _packed_render, whose custom VJP is
+        # the fused backward kernel.
+        return _render_pallas_raw(scene, camera, int(polish_iters), 0)
     return _render_pallas_diff(scene, camera, int(polish_iters), int(bounces))
