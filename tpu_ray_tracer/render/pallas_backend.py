@@ -128,8 +128,14 @@ def _ray_coeffs_scalar(coef, o_pows, d_pows, one, m_start=0, k_max=3):
     return out  # [t3, t2, t1, t0]
 
 
-def _eval_F_and_grad(coef, px, py, pz, m_start=0):
-    """F(p), dF(p) for scalar coefficients at (8,128) points."""
+def _eval_F_and_grad(coef, px, py, pz, m_start=0, need_mag=True,
+                     need_grad=True):
+    """F(p), |terms|(p), dF(p) for scalar coefficients at (8,128) points.
+
+    ``need_mag``/``need_grad`` statically trim the term magnitude sum
+    (only the residual-rejection test reads it) and the gradient (only
+    Newton steps and the surface normal read it) — the Newton loop is the
+    kernel's hot inner loop, so the unused outputs are real VPU work."""
     p = _powers3(px, py, pz, max_pow=3 if m_start == 0 else 2)
     one = jnp.ones_like(px)
     f = None
@@ -141,8 +147,11 @@ def _eval_F_and_grad(coef, px, py, pz, m_start=0):
         mono = _prod(p, pows, one)
         term = coef[m] * mono
         f = term if f is None else f + term
-        a = jnp.abs(term)
-        mag = a if mag is None else mag + a
+        if need_mag:
+            a = jnp.abs(term)
+            mag = a if mag is None else mag + a
+        if not need_grad:
+            continue
         for axis in range(3):
             e = pows[axis]
             if e == 0:
@@ -165,7 +174,7 @@ def _polish(coef, ox, oy, oz, dx, dy, dz, t, iters, m_start=0, reject=True):
     seed = t
     for _ in range(iters):
         px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
-        f, _, g = _eval_F_and_grad(coef, px, py, pz, m_start)
+        f, _, g = _eval_F_and_grad(coef, px, py, pz, m_start, need_mag=False)
         df = g[0] * dx + g[1] * dy + g[2] * dz
         ok = jnp.abs(df) > 1e-12
         step = jnp.where(ok, f / jnp.where(ok, df, 1.0), 0.0)
@@ -174,7 +183,7 @@ def _polish(coef, ox, oy, oz, dx, dy, dz, t, iters, m_start=0, reject=True):
     if not reject:
         return t
     px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
-    f, mag, _ = _eval_F_and_grad(coef, px, py, pz, m_start)
+    f, mag, _ = _eval_F_and_grad(coef, px, py, pz, m_start, need_grad=False)
     genuine = jnp.abs(f) <= _RESIDUAL_TOL * mag
     return jnp.where(genuine, t, jnp.where(seed < 0, seed, _FAKE_ROOT))
 
@@ -209,7 +218,7 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     r = (9.0 * a * b - 27.0 * c - 2.0 * a * a * a) / 54.0
     delta = q * q * q + r * r
     sq_delta = jnp.sqrt(jnp.maximum(delta, 0.0))
-    cand_cardano = pol(t=s * (_cbrt(r + sq_delta) + _cbrt(r - sq_delta) - a / 3.0))
+    seed_cardano = s * (_cbrt(r + sq_delta) + _cbrt(r - sq_delta) - a / 3.0)
 
     q_neg = jnp.maximum(-q, 0.0)
     denom = jnp.sqrt(q_neg * q_neg * q_neg)
@@ -217,9 +226,16 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     theta = _acos(ratio) / 3.0
     two_sq = 2.0 * jnp.sqrt(q_neg)
     a3 = a / 3.0
-    trig = [
+    # Delta > 0 has exactly one real root (Cardano); Delta <= 0 has three
+    # (trig) — the branches are mutually exclusive per ray, so the Cardano
+    # seed shares a polish slot with trig k=0 (3 polishes, not 4). Newton
+    # against the direct evaluation + residual rejection makes any seed
+    # either converge to a genuine root or get discarded, so the merge
+    # cannot change which roots are found.
+    seed_trig0 = s * (two_sq * jnp.cos(theta) - a3)
+    trig = [pol(t=jnp.where(delta > 0, seed_cardano, seed_trig0))] + [
         pol(t=s * (two_sq * jnp.cos(theta + k * TWO_THIRD_PI) - a3))
-        for k in (0.0, 1.0, 2.0)
+        for k in (1.0, 2.0)
     ]
 
     # dominant-balance quadratic seeds (near-degenerate |t3|)
@@ -231,7 +247,7 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
 
     big = jnp.full_like(one, 2.0 * _FAKE_ROOT)
     cubic_root = big
-    for cand in (cand_cardano, *trig, sub_lo, sub_hi):
+    for cand in (*trig, sub_lo, sub_hi):
         take = (cand >= EPS) & (cand < cubic_root)
         cubic_root = jnp.where(take, cand, cubic_root)
     cubic_root = jnp.where(cubic_root >= big, -1.0, cubic_root)
@@ -288,6 +304,13 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
     four_pi = np.float32(4.0 * math.pi)
     if n_cubic is None:
         n_cubic = n_objects  # no degree info: treat every object as cubic
+    # Occlusion is a boolean (t in (EPS, max_t)) — it tolerates a coarser
+    # root than the primary hit, whose t feeds the shading position. One
+    # Newton step off the analytic seed classifies all but the penumbra-
+    # boundary pixels identically (parity measured per scene vs the f64
+    # oracle; see bench.py's parity gate).
+    shadow_iters = (polish_iters if _SHADOW_POLISH_ITERS is None
+                    else min(_SHADOW_POLISH_ITERS, polish_iters))
 
     def nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz):
         """Best valid hit over all objects (reference update-cuda.cu:65-77).
@@ -375,7 +398,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             def make_occ_body(solver):
                 def occ_body(i, occluded):
                     coef = _read_coef_row(coefs_ref, i)
-                    t = solver(coef, sox, soy, soz, sdx, sdy, sdz, polish_iters)
+                    t = solver(coef, sox, soy, soz, sdx, sdy, sdz, shadow_iters)
                     hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
                     return jnp.maximum(occluded, hit_f)
 
@@ -409,7 +432,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         return [jnp.minimum(1.0, a) for a in acc], occ_bits
 
     def normal_at(sel_coef, px, py, pz):
-        _, _, g = _eval_F_and_grad(sel_coef, px, py, pz)
+        _, _, g = _eval_F_and_grad(sel_coef, px, py, pz, need_mag=False)
         norm = jnp.sqrt(g[0] * g[0] + g[1] * g[1] + g[2] * g[2])
         inv = 1.0 / jnp.where(norm > 0, norm, 1.0)
         return g[0] * inv, g[1] * inv, g[2] * inv
@@ -552,6 +575,15 @@ import os
 
 # CPU tests run the kernel in the Pallas interpreter (no Mosaic backend).
 _INTERPRET = os.environ.get("TRT_PALLAS_INTERPRET", "0") == "1"
+
+# Newton iterations for shadow-occlusion solves. Default 1: the occlusion
+# boolean classifies identically to the full polish on all 8 reference
+# scenes (per-scene parity sweep vs the f64 oracle at 512x384: bad-pixel
+# fractions equal to 5 decimal places, dingdong marginally BETTER), and
+# shadow solves are 2/3 of all solves on the headline scene (+22% Mrays/s).
+# Env-tunable for parity sweeps; baked in at kernel trace time.
+_env_sp = os.environ.get("TRT_SHADOW_POLISH", "1")
+_SHADOW_POLISH_ITERS: int | None = int(_env_sp) if _env_sp else None
 
 
 def _degree_partition(coefs):
@@ -828,7 +860,7 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
                 objc[k] = jnp.where(m, colors_ref[i, k], objc[k])
         p = [cam_ref[9] + t * d[0], cam_ref[10] + t * d[1], cam_ref[11] + t * d[2]]
         pcache = _powers3(p[0], p[1], p[2])
-        _f, _mag, gF = _eval_F_and_grad(sel, p[0], p[1], p[2])
+        _f, _mag, gF = _eval_F_and_grad(sel, p[0], p[1], p[2], need_mag=False)
         nu = jnp.sqrt(gF[0] * gF[0] + gF[1] * gF[1] + gF[2] * gF[2])
         inv_nu = 1.0 / jnp.where(nu > 0, nu, 1.0)
         n = [gF[k] * inv_nu for k in range(3)]
