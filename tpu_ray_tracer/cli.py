@@ -159,9 +159,7 @@ def cmd_fit(args) -> int:
         # self-recovery: target = render of the unperturbed scene
         target = render_image_sharded(scene, _default_camera(), mesh, config)
 
-    perturbed = dataclasses.replace(
-        scene, light_color=np.asarray(scene.light_color) * args.perturb
-    )
+    perturbed = _perturb_scene(scene, args.params.split(","), args.perturb)
     problem = InverseProblem(
         scene_template=perturbed,
         config=config,
@@ -175,6 +173,28 @@ def cmd_fit(args) -> int:
     )
     print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e} over {len(losses)} steps")
     return 0
+
+
+def _perturb_scene(scene, fields, factor):
+    """Perturb exactly the scene fields being optimized (``--params``), so
+    self-recovery descends on the parameters that actually differ from the
+    target. ``coefs`` perturbs only the constant monomial column: a uniform
+    scaling of all 20 coefficients leaves the zero set F = 0 unchanged, so
+    it would be an unrecoverable (and invisible) perturbation."""
+    import dataclasses
+
+    import numpy as np
+
+    updates = {}
+    for field in fields:
+        value = np.asarray(getattr(scene, field))
+        if field == "coefs":
+            value = value.copy()
+            value[:, 19] = value[:, 19] * factor
+        else:
+            value = value * factor
+        updates[field] = value
+    return dataclasses.replace(scene, **updates)
 
 
 def _default_camera():

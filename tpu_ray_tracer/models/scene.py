@@ -158,10 +158,12 @@ def static_bounce_count(scene: Scene) -> int:
     """Host-side specialization: trip count for the reflection chain.
 
     If no object is reflective (all ratios <= EPS, the loop-entry condition at
-    reference src/update-cpu.cpp:97) the reflection scan is statically skipped.
+    reference src/update-cpu.cpp:97) the reflection scan is statically skipped;
+    otherwise the chain runs ``scene.max_reflections`` traced bounces followed
+    by the at-cap background blend (reference src/update-cpu.cpp:98-101).
     Requires concrete (non-traced) reflection values.
     """
     refl = np.asarray(scene.reflection)
     if refl.size == 0 or float(refl.max()) <= 1e-7:
         return 0
-    return scene.max_reflections + 1
+    return scene.max_reflections

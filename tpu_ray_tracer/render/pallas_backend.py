@@ -22,13 +22,16 @@ ZERO root solves — it regenerates the ray, reconstructs the hit, and applies
 closed-form reverse rules (shading chain, normal via gradient+Hessian of F,
 implicit-function-theorem root derivative, camera ray-gen), accumulating
 parameter gradients in VMEM across the sequential tile grid. With
-reflections the VJP falls back to recomputing through the (mathematically
-identical) XLA pipeline.
+reflections the VJP falls back to recomputing through the XLA pipeline
+(identical primary-hit math; shadow-occlusion solves there use the full
+polish_iters while the Pallas forward defaults to shadow_iters=1 — see
+``render_image_pallas``).
 """
 
 from __future__ import annotations
 
 import math
+import weakref
 from functools import partial
 
 import jax
@@ -299,7 +302,7 @@ def _read_coef_row(coefs_ref, i):
 
 def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                  polish_iters: int, bounces: int, n_cubic: int | None = None,
-                 save_aux: bool = False):
+                 save_aux: bool = False, shadow_iters: int | None = None):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
     if n_cubic is None:
@@ -309,8 +312,10 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
     # Newton step off the analytic seed classifies all but the penumbra-
     # boundary pixels identically (parity measured per scene vs the f64
     # oracle; see bench.py's parity gate).
-    shadow_iters = (polish_iters if _SHADOW_POLISH_ITERS is None
-                    else min(_SHADOW_POLISH_ITERS, polish_iters))
+    if shadow_iters is None:
+        shadow_iters = (polish_iters if _SHADOW_POLISH_ITERS is None
+                        else min(_SHADOW_POLISH_ITERS, polish_iters))
+    shadow_iters = max(1, min(shadow_iters, polish_iters))
 
     def nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz):
         """Best valid hit over all objects (reference update-cuda.cu:65-77).
@@ -581,9 +586,13 @@ _INTERPRET = os.environ.get("TRT_PALLAS_INTERPRET", "0") == "1"
 # scenes (per-scene parity sweep vs the f64 oracle at 512x384: bad-pixel
 # fractions equal to 5 decimal places, dingdong marginally BETTER), and
 # shadow solves are 2/3 of all solves on the headline scene (+22% Mrays/s).
-# Env-tunable for parity sweeps; baked in at kernel trace time.
+# Env-tunable for parity sweeps; baked in at kernel trace time. Clamped to
+# >= 1: with zero Newton steps the residual-rejection test would discard most
+# genuine cubic shadow roots (the analytic seeds are only seed-accurate),
+# causing widespread light leaks. Callers wanting an explicit value should
+# pass ``shadow_iters`` to ``render_image_pallas`` instead of the env var.
 _env_sp = os.environ.get("TRT_SHADOW_POLISH", "1")
-_SHADOW_POLISH_ITERS: int | None = int(_env_sp) if _env_sp else None
+_SHADOW_POLISH_ITERS: int | None = max(1, int(_env_sp)) if _env_sp else None
 
 
 def _degree_partition(coefs):
@@ -602,11 +611,34 @@ def _degree_partition(coefs):
 
 # Tiny memo so the per-frame hot loop doesn't re-derive the partition (a
 # host-side np reduction over [N, 10]) for the same coefficient table.
+# Keyed on id() for zero per-frame device transfers, but each entry holds a
+# weakref to the coefs array with a removal callback: CPython reuses ids
+# after GC, so a plain id key could serve a STALE partition to a new array
+# allocated at the same address. The weakref guarantees an entry can only be
+# hit while the exact array it was computed for is still alive.
 _PARTITION_CACHE: dict = {}
 
 
+def _partition_for(coefs):
+    key = id(coefs)
+    cached = _PARTITION_CACHE.get(key)
+    if cached is not None and cached[0]() is coefs:
+        return cached[1]
+    p, n_cubic = _degree_partition(coefs)
+    value = (tuple(int(i) for i in p), n_cubic)
+    if len(_PARTITION_CACHE) > 64:
+        _PARTITION_CACHE.clear()
+    try:
+        ref = weakref.ref(coefs, lambda _r, k=key: _PARTITION_CACHE.pop(k, None))
+    except TypeError:  # non-weakref-able array type: don't cache
+        return value
+    _PARTITION_CACHE[key] = (ref, value)
+    return value
+
+
 def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
-                       polish_iters: int, bounces: int):
+                       polish_iters: int, bounces: int,
+                       shadow_iters: int | None = None):
     """Non-jitted wrapper: degree-partitions the object table host-side
     (cubics first), then dispatches the jitted kernel with the permutation
     as STATIC data (compiled in — the scene arrays pass through unchanged,
@@ -617,17 +649,9 @@ def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
         perm = tuple(range(scene.n_objects))
         n_cubic = scene.n_objects
     else:
-        key = id(scene.coefs)
-        cached = _PARTITION_CACHE.get(key)
-        if cached is None:
-            p, n_cubic = _degree_partition(scene.coefs)
-            cached = (tuple(int(i) for i in p), n_cubic)
-            if len(_PARTITION_CACHE) > 64:
-                _PARTITION_CACHE.clear()
-            _PARTITION_CACHE[key] = cached
-        perm, n_cubic = cached
+        perm, n_cubic = _partition_for(scene.coefs)
     return _render_pallas_jit(scene, camera, polish_iters, bounces,
-                              n_cubic, perm)
+                              n_cubic, perm, shadow_iters)
 
 
 def _grid_geometry(width: int, height: int):
@@ -639,13 +663,13 @@ def _grid_geometry(width: int, height: int):
 def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
                   n_objects: int, n_lights: int, width: int, height: int,
                   polish_iters: int, bounces: int, n_cubic: int,
-                  save_aux: bool):
+                  save_aux: bool, shadow_iters: int | None = None):
     """Launch the forward kernel on packed tables -> [H, W, 3] image
     (+ per-pixel (t, slot, occ-bitmask) aux when save_aux)."""
     n_px, n_tiles, rows_padded = _grid_geometry(width, height)
     kernel = _make_kernel(
         n_objects, n_lights, width, height, polish_iters, bounces,
-        n_cubic=n_cubic, save_aux=save_aux,
+        n_cubic=n_cubic, save_aux=save_aux, shadow_iters=shadow_iters,
     )
     out_shapes = [jax.ShapeDtypeStruct((3, rows_padded, TILE_LANES), jnp.float32)]
     out_specs = [pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
@@ -683,10 +707,11 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
 
 
 @partial(jax.jit,
-         static_argnames=("polish_iters", "bounces", "n_cubic", "perm"))
+         static_argnames=("polish_iters", "bounces", "n_cubic", "perm",
+                          "shadow_iters"))
 def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
                        polish_iters: int, bounces: int, n_cubic: int,
-                       perm: tuple):
+                       perm: tuple, shadow_iters: int | None = None):
     scene32 = scene.astype(jnp.float32)
     camera32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), camera)
     # Apply the static cubics-first permutation inside jit: XLA constant-
@@ -708,13 +733,14 @@ def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
         return _packed_render(
             coefs, colors, refl, lights, cam,
             scene.width, scene.height, polish_iters, n_cubic, perm,
+            shadow_iters,
         )
     return _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=scene.n_objects, n_lights=scene.n_lights,
         width=scene.width, height=scene.height,
         polish_iters=polish_iters, bounces=bounces, n_cubic=n_cubic,
-        save_aux=False,
+        save_aux=False, shadow_iters=shadow_iters,
     )
 
 
@@ -1020,9 +1046,10 @@ def _dispatch_bwd(coefs, colors, lights, cam, g_tiles, t, slot, occ, *,
     return acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
-                   polish_iters: int, n_cubic: int, perm: tuple):
+                   polish_iters: int, n_cubic: int, perm: tuple,
+                   shadow_iters: int | None = None):
     """Forward render on packed (permuted) tables, bounces == 0.
 
     custom_vjp pair: forward saves per-pixel (t, slot, occlusion bits) from
@@ -1033,23 +1060,24 @@ def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=len(perm), n_lights=lights.shape[0],
         width=width, height=height, polish_iters=polish_iters,
-        bounces=0, n_cubic=n_cubic, save_aux=False,
+        bounces=0, n_cubic=n_cubic, save_aux=False, shadow_iters=shadow_iters,
     )
 
 
 def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
-                polish_iters, n_cubic, perm):
+                polish_iters, n_cubic, perm, shadow_iters=None):
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     image, t, slot, occ = _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=len(perm), n_lights=lights.shape[0],
         width=width, height=height, polish_iters=polish_iters,
-        bounces=0, n_cubic=n_cubic, save_aux=True,
+        bounces=0, n_cubic=n_cubic, save_aux=True, shadow_iters=shadow_iters,
     )
     return image, (coefs, colors, refl, lights, cam, t, slot, occ)
 
 
-def _packed_bwd(width, height, polish_iters, n_cubic, perm, res, g):
+def _packed_bwd(width, height, polish_iters, n_cubic, perm, shadow_iters,
+                res, g):
     coefs, colors, refl, lights, cam, t, slot, occ = res
     n_objects = len(perm)
     n_lights = lights.shape[0]
@@ -1091,16 +1119,25 @@ def _packed_bwd(width, height, polish_iters, n_cubic, perm, res, g):
 _packed_render.defvjp(_packed_fwd, _packed_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _render_pallas_diff(scene: Scene, camera, polish_iters: int, bounces: int):
-    return _render_pallas_raw(scene, camera, polish_iters, bounces)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _render_pallas_diff(scene: Scene, camera, polish_iters: int, bounces: int,
+                        shadow_iters: int | None = None):
+    return _render_pallas_raw(scene, camera, polish_iters, bounces, shadow_iters)
 
 
-def _diff_fwd(scene, camera, polish_iters, bounces):
-    return _render_pallas_diff(scene, camera, polish_iters, bounces), (scene, camera)
+def _diff_fwd(scene, camera, polish_iters, bounces, shadow_iters=None):
+    out = _render_pallas_diff(scene, camera, polish_iters, bounces, shadow_iters)
+    return out, (scene, camera)
 
 
-def _diff_bwd(polish_iters, bounces, res, g):
+def _diff_bwd(polish_iters, bounces, shadow_iters, res, g):
+    # Gradient fallback for the reflective path: recompute through the XLA
+    # pipeline. NOTE the pipeline's occlusion solves use the full
+    # polish_iters while the Pallas forward uses the (coarser) shadow_iters,
+    # so primal and gradient can disagree on occlusion classification at
+    # penumbra-boundary pixels — acceptable because occlusion is a
+    # non-differentiable boolean (stop_gradient'd in the pipeline) and the
+    # disagreement set is the measure-zero root-selection boundary.
     scene, camera = res
     config = xla_pipeline.RenderConfig(
         geom_dtype="float32", polish_iters=polish_iters,
@@ -1117,14 +1154,23 @@ _render_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
 
 
 def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
-                        polish_iters: int = 3, bounces: int | None = None):
+                        polish_iters: int = 3, bounces: int | None = None,
+                        shadow_iters: int | None = None):
     """Render a full frame with the fused Pallas kernel -> [H, W, 3] f32.
 
     Differentiable. For bounce-free renders the backward pass is the fused
     analytic Pallas kernel (``_make_bwd_kernel``) — forward saves per-pixel
     (t, slot, occlusion bits), so the backward runs zero root solves. With
-    reflections the backward falls back to recomputing through the
-    (mathematically identical) XLA pipeline.
+    reflections the backward falls back to recomputing through the XLA
+    pipeline (same primary-hit math; see ``_diff_bwd`` for the shadow-solve
+    precision caveat).
+
+    ``shadow_iters`` sets the Newton polish count for shadow-occlusion
+    solves, clamped to [1, polish_iters]. Default (None) is 1 — measured
+    parity-neutral on the 8 bundled scenes and ~22% faster on the headline
+    scene, but occlusion near penumbra boundaries is classified with a
+    coarser root than the primary hit; pass ``shadow_iters=polish_iters``
+    for uniform precision on unseen scenes that show shadow light-leaks.
     """
     if camera is None:
         camera = camera_ops.Camera.initial(jnp.float32)
@@ -1132,8 +1178,9 @@ def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
         bounces = xla_pipeline.resolve_bounces(
             scene, xla_pipeline.RenderConfig()
         )
+    si = None if shadow_iters is None else int(shadow_iters)
     if bounces == 0 and scene.n_objects > 0 and scene.n_lights <= 31:
         # _render_pallas_jit routes to _packed_render, whose custom VJP is
         # the fused backward kernel.
-        return _render_pallas_raw(scene, camera, int(polish_iters), 0)
-    return _render_pallas_diff(scene, camera, int(polish_iters), int(bounces))
+        return _render_pallas_raw(scene, camera, int(polish_iters), 0, si)
+    return _render_pallas_diff(scene, camera, int(polish_iters), int(bounces), si)

@@ -185,8 +185,7 @@ def render_rays(scene: Scene, origin, dir, *, polish_iters: int, bounces: int):
 def resolve_bounces(scene: Scene, config: RenderConfig) -> int:
     if config.bounces is not None:
         return config.bounces
-    n = static_bounce_count(scene)
-    return 0 if n == 0 else scene.max_reflections
+    return static_bounce_count(scene)
 
 
 @partial(jax.jit, static_argnames=("config",))
