@@ -16,7 +16,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, REPO)
+try:  # installed package (pip install -e . --no-build-isolation)
+    import tpu_ray_tracer  # noqa: F401
+except ImportError:  # fresh checkout without install: run from the repo
+    sys.path.insert(0, REPO)
 
 BASELINE_MRAYS = 36.864  # 921600 px / 25 ms (BASELINE.md, derived row 1)
 

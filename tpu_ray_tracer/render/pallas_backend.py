@@ -316,6 +316,13 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         shadow_iters = (polish_iters if _SHADOW_POLISH_ITERS is None
                         else min(_SHADOW_POLISH_ITERS, polish_iters))
     shadow_iters = max(1, min(shadow_iters, polish_iters))
+    # Tile-uniform work skips (A/B-able via TRT_TILE_SKIPS=0). The
+    # fully-occluded early exit switches the occlusion sweep from fori_loop
+    # to while_loop, whose dynamic trip count costs Mosaic scheduling
+    # slack — measured a 15% LOSS on 3-object dingdong — so it is enabled
+    # only where the expected saving is large (many objects to skip).
+    use_skips = os.environ.get("TRT_TILE_SKIPS", "1") == "1"
+    occ_early_exit = use_skips and n_objects > 6
 
     def nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz):
         """Best valid hit over all objects (reference update-cuda.cu:65-77).
@@ -377,7 +384,19 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         """Shadow-tested Lambertian sum over lights, clamped
         (reference update-cpu.cpp:60-77). Also returns the per-pixel
         occlusion bitmask (bit li set iff light li is shadowed) so the
-        backward kernel can skip re-running the occlusion solves."""
+        backward kernel can skip re-running the occlusion solves.
+
+        Two tile-uniform skips bound the O(lights x objects) occlusion cost
+        (the TPU analogue of the reference's per-pixel first-occluder break,
+        update-cuda.cu:87-94 — per-lane breaks don't exist on a VPU, but a
+        whole tile agreeing does):
+        * the occlusion sweep is skipped outright when no lane in the tile
+          faces the light (lam <= 0 everywhere: the Lambert factor already
+          zeroes the contribution, and every gradient path through this
+          light is proportional to lam or gated by ndotl > 0);
+        * the per-object sweep is a while_loop that stops as soon as every
+          lane is occluded (extra occluders cannot change the boolean).
+        """
         zero = jnp.zeros_like(px)
         acc = [zero, zero, zero]
         occ_bits = jnp.zeros_like(px, dtype=jnp.int32)
@@ -398,29 +417,6 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             sdz = jnp.where(sph, toz, lpz)
             max_t = jnp.where(sph, 1.0, MAX_T)
 
-            # Carry the occlusion mask as f32 (0/1): Mosaic cannot carry
-            # vector<i1> through scf loops.
-            def make_occ_body(solver):
-                def occ_body(i, occluded):
-                    coef = _read_coef_row(coefs_ref, i)
-                    t = solver(coef, sox, soy, soz, sdx, sdy, sdz, shadow_iters)
-                    hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
-                    return jnp.maximum(occluded, hit_f)
-
-                return occ_body
-
-            occluded_f = jnp.zeros_like(px)
-            if n_cubic > 0:
-                occluded_f = jax.lax.fori_loop(
-                    0, n_cubic, make_occ_body(_solve_object), occluded_f
-                )
-            if n_cubic < n_objects:
-                occluded_f = jax.lax.fori_loop(
-                    n_cubic, n_objects, make_occ_body(_solve_quadric), occluded_f
-                )
-            occluded = occluded_f > 0.5
-            occ_bits = occ_bits | (occluded_f.astype(jnp.int32) * (1 << li))
-
             dist2 = tox * tox + toy * toy + toz * toz
             dn = jnp.sqrt(dist2)
             inv_dn = 1.0 / jnp.where(dn > 0, dn, 1.0)
@@ -429,6 +425,54 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             ldz = jnp.where(sph, toz * inv_dn, lpz)
             falloff = 1.0 / (four_pi * dist2)
             lam = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
+
+            # Carry the occlusion mask as f32 (0/1): Mosaic cannot carry
+            # vector<i1> through scf loops.
+            def make_occ_sweep(solver):
+                def step(i, occ):
+                    coef = _read_coef_row(coefs_ref, i)
+                    t = solver(coef, sox, soy, soz, sdx, sdy, sdz, shadow_iters)
+                    hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
+                    return jnp.maximum(occ, hit_f)
+
+                def sweep(start, stop, occ):
+                    if not occ_early_exit:
+                        return jax.lax.fori_loop(start, stop, step, occ)
+
+                    # bounded while: stops once the tile is fully occluded
+                    # (extra occluders cannot change the boolean); the
+                    # (i < stop) bound keeps it finite.
+                    def cond_b(carry):
+                        return (carry[0] < stop) & (jnp.min(carry[1]) < 0.5)
+
+                    def body(carry):
+                        i, occ = carry
+                        return i + 1, step(i, occ)
+
+                    return jax.lax.while_loop(
+                        cond_b, body, (jnp.int32(start), occ)
+                    )[1]
+
+                return sweep
+
+            def run_occlusion(_):
+                occ = jnp.zeros_like(px)
+                if n_cubic > 0:
+                    occ = make_occ_sweep(_solve_object)(0, n_cubic, occ)
+                if n_cubic < n_objects:
+                    occ = make_occ_sweep(_solve_quadric)(n_cubic, n_objects, occ)
+                return occ
+
+            if use_skips:
+                occluded_f = jax.lax.cond(
+                    jnp.max(lam) > 0.0, run_occlusion,
+                    lambda _: jnp.zeros_like(px), None,
+                )
+            else:
+                occluded_f = run_occlusion(None)
+            occluded = occluded_f > 0.5
+            occ_bits = occ_bits | (occluded_f.astype(jnp.int32) * (1 << li))
+
             w = jnp.where(occluded, 0.0, lam * inv_pi)
             scale = jnp.where(sph, falloff, 1.0) * w
             acc[0] = acc[0] + obj_col[0] * lcr * scale
@@ -448,9 +492,22 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
         sel_coef, obj_col, refl = gather_object(coefs_ref, colors_ref, refl_ref, idx)
         nx, ny, nz = normal_at(sel_coef, px, py, pz)
-        lit, occ_bits = shade(
-            coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz
-        )
+
+        # Tile-uniform skip: a tile with no hit anywhere (sky) renders pure
+        # background — its O(lights x objects) shading sweep is dead work.
+        def do_shade(_):
+            return shade(
+                coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz
+            )
+
+        def no_shade(_):
+            z = jnp.zeros_like(px)
+            return [z, z, z], jnp.zeros_like(idx)
+
+        if use_skips:
+            lit, occ_bits = jax.lax.cond(jnp.any(hit), do_shade, no_shade, None)
+        else:
+            lit, occ_bits = do_shade(None)
         return hit, idx, refl, (px, py, pz), (nx, ny, nz), lit, (t, occ_bits)
 
     def kernel(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref, cam_ref,
@@ -497,37 +554,61 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             # reflection chain (reference update-cuda.cu:126-146) as a
             # lockstep masked loop
             # active mask carried as f32 (0/1): no vector<i1> loop carries.
+            # Each iteration is tile-uniform-skipped once no lane still
+            # reflects — the TPU analogue of the reference's while-exit
+            # (most tiles exhaust their chain in 0-1 bounces, not
+            # max_reflections).
             def bounce(_, carry):
-                result, ratio, active_f, refl_c, point, normal, d = carry
-                enter = (active_f > 0.5) & (refl_c > EPS)
-                ratio = jnp.where(enter, ratio * refl_c, ratio)
-                px, py, pz = point
-                nx, ny, nz = normal
-                ddx, ddy, ddz = d
-                dot = ddx * nx + ddy * ny + ddz * nz
-                rdx = ddx - 2.0 * dot * nx
-                rdy = ddy - 2.0 * dot * ny
-                rdz = ddz - 2.0 * dot * nz
-                nox = px + SHADOW_BIAS * nx
-                noy = py + SHADOW_BIAS * ny
-                noz = pz + SHADOW_BIAS * nz
-                h2, _i2, r2, p2, n2, l2, _aux2 = trace_and_shade(
-                    coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
-                    nox, noy, noz, rdx, rdy, rdz,
-                )
-                bcol = [jnp.where(h2, l2[k], bg[k]) for k in range(3)]
-                result = [
-                    jnp.where(enter, (1.0 - ratio) * result[k] + ratio * bcol[k],
-                              result[k])
-                    for k in range(3)
-                ]
-                adv = enter & h2
-                refl_c = jnp.where(adv, r2, refl_c)
-                point = tuple(jnp.where(adv, p2[k], point[k]) for k in range(3))
-                normal = tuple(jnp.where(adv, n2[k], normal[k]) for k in range(3))
-                d = (jnp.where(enter, rdx, ddx), jnp.where(enter, rdy, ddy),
-                     jnp.where(enter, rdz, ddz))
-                return result, ratio, adv.astype(jnp.float32), refl_c, point, normal, d
+                def run(carry):
+                    result, ratio, active_f, refl_c, point, normal, d = carry
+                    enter = (active_f > 0.5) & (refl_c > EPS)
+                    ratio = jnp.where(enter, ratio * refl_c, ratio)
+                    px, py, pz = point
+                    nx, ny, nz = normal
+                    ddx, ddy, ddz = d
+                    dot = ddx * nx + ddy * ny + ddz * nz
+                    rdx = ddx - 2.0 * dot * nx
+                    rdy = ddy - 2.0 * dot * ny
+                    rdz = ddz - 2.0 * dot * nz
+                    nox = px + SHADOW_BIAS * nx
+                    noy = py + SHADOW_BIAS * ny
+                    noz = pz + SHADOW_BIAS * nz
+                    h2, _i2, r2, p2, n2, l2, _aux2 = trace_and_shade(
+                        coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
+                        nox, noy, noz, rdx, rdy, rdz,
+                    )
+                    bcol = [jnp.where(h2, l2[k], bg[k]) for k in range(3)]
+                    result = [
+                        jnp.where(enter,
+                                  (1.0 - ratio) * result[k] + ratio * bcol[k],
+                                  result[k])
+                        for k in range(3)
+                    ]
+                    adv = enter & h2
+                    refl_c = jnp.where(adv, r2, refl_c)
+                    point = tuple(jnp.where(adv, p2[k], point[k])
+                                  for k in range(3))
+                    normal = tuple(jnp.where(adv, n2[k], normal[k])
+                                   for k in range(3))
+                    d = (jnp.where(enter, rdx, ddx), jnp.where(enter, rdy, ddy),
+                         jnp.where(enter, rdz, ddz))
+                    return (result, ratio, adv.astype(jnp.float32), refl_c,
+                            point, normal, d)
+
+                def skip(carry):
+                    # no lane enters: the full body would leave everything
+                    # unchanged and set the active mask to zero
+                    result, ratio, active_f, refl_c, point, normal, d = carry
+                    return (result, ratio, jnp.zeros_like(active_f), refl_c,
+                            point, normal, d)
+
+                if not use_skips:
+                    return run(carry)
+                active_f, refl_c = carry[2], carry[3]
+                any_enter = jnp.max(
+                    jnp.where((active_f > 0.5) & (refl_c > EPS), 1.0, 0.0)
+                ) > 0.0
+                return jax.lax.cond(any_enter, run, skip, carry)
 
             init = (result, jnp.ones_like(dx), hit.astype(jnp.float32), refl,
                     point, normal, (dx, dy, dz))
