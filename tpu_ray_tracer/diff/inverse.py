@@ -61,6 +61,9 @@ class InverseProblem:
     #                                 gradients spike at grazing hits, and a
     #                                 global clip pins the direction to those
     #                                 spikes — prefer per-coordinate Adam alone
+    backend: str = "xla"           # "pallas": fused fwd+bwd kernels per device
+    #                                 (bounce-free scenes; reflective templates
+    #                                 fall back to the XLA pipeline)
 
     def optimizer(self):
         if self.grad_clip is not None:
@@ -103,11 +106,32 @@ def make_loss_fn(problem: InverseProblem, mesh):
     rows_local = height_padded // n_dev
     n_valid = template.height * template.width * 3
 
+    use_pallas = problem.backend == "pallas" and bounces == 0
+    if use_pallas:
+        # All-cubic identity partition whenever coefficients are optimized
+        # (a gradient step can turn a statically-quadric object cubic, which
+        # a frozen template partition would silently mis-render); otherwise
+        # the template's host-side partition is valid for the whole run.
+        if "coefs" in problem.param_fields:
+            perm, n_cubic = None, None
+        else:
+            from ..render.pallas_backend import partition_for_scene
+            perm, n_cubic = partition_for_scene(problem.scene_template)
+
     def device_loss(params, camera, target_local):
         scene = apply_params(template, params)
         idx = jax.lax.axis_index(AXIS)
         y0 = idx * rows_local
-        colors = _device_render(scene, camera, rows_local, problem.config, bounces)
+        if use_pallas:
+            from ..render.pallas_backend import render_rows_pallas
+            colors = render_rows_pallas(
+                scene, camera, y0, rows_local,
+                polish_iters=problem.config.polish_iters, bounces=0,
+                n_cubic=n_cubic, perm=perm,
+            )
+        else:
+            colors = _device_render(scene, camera, rows_local, problem.config,
+                                    bounces)
         # mask padded rows out of the squared error
         row_ids = y0 + jnp.arange(rows_local)
         valid = (row_ids < scene.height)[:, None, None]

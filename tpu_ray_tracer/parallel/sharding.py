@@ -47,14 +47,21 @@ def padded_rows(height: int, n_devices: int) -> int:
 
 
 def render_image_sharded(scene: Scene, camera: camera_ops.Camera, mesh: Mesh,
-                         config: RenderConfig = RenderConfig()):
+                         config: RenderConfig = RenderConfig(),
+                         backend: str = "pallas"):
     """Render with rows sharded over `mesh`; returns [H, W, 3] f32 laid out
     row-sharded (callers can ``jax.device_get`` for a host copy).
 
-    Per-device program: compute this device's row block's ray directions
-    from its mesh axis index, run the full pipeline locally. No collectives
-    in the forward pass.
+    Per-device program: compute this device's row block from its mesh axis
+    index and render it locally. No collectives in the forward pass — the
+    device kernel IS the parallel path, as in the reference's CUDA grid
+    (src/update-cuda.cu:104-163).
+
+    backend: "pallas" (default) runs the fused tile kernel per device
+    (Mosaic on TPU, interpreter on CPU meshes); "xla" runs the jnp pipeline.
     """
+    if backend not in ("pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
     n_dev = mesh.shape[AXIS]
     height_padded = padded_rows(scene.height, n_dev)
     rows_local = height_padded // n_dev
@@ -62,10 +69,21 @@ def render_image_sharded(scene: Scene, camera: camera_ops.Camera, mesh: Mesh,
     dtype = config.dtype
     scene = scene.astype(dtype)
     camera = jax.tree.map(lambda x: jnp.asarray(x, dtype), camera)
+    if backend == "pallas":
+        # degree partition needs concrete coefficients: host-side, shared by
+        # every device (the permutation is static data compiled in)
+        from ..render.pallas_backend import partition_for_scene, render_rows_pallas
+        perm, n_cubic = partition_for_scene(scene)
 
     def device_program(scene_local: Scene):
         idx = jax.lax.axis_index(AXIS)
         y0 = idx * rows_local
+        if backend == "pallas":
+            return render_rows_pallas(
+                scene_local, camera, y0, rows_local,
+                polish_iters=config.polish_iters, bounces=bounces,
+                n_cubic=n_cubic, perm=perm,
+            )
         rotation, eye = camera_ops.camera_frame(camera)
         dirs = camera_ops.pixel_directions(
             rotation, scene_local.width, scene_local.height,
@@ -79,11 +97,15 @@ def render_image_sharded(scene: Scene, camera: camera_ops.Camera, mesh: Mesh,
         )
         return colors
 
+    # check_vma=False: pallas_call output avals carry no varying-axis info,
+    # so shard_map's vma checker cannot type them (same escape hatch as the
+    # custom-vjp train step in diff/inverse.py).
     shard_fn = jax.shard_map(
         device_program,
         mesh=mesh,
         in_specs=(P(),),          # scene replicated
         out_specs=P(AXIS),        # rows sharded
+        check_vma=False,
     )
     # jit is mandatory: eager shard_map dispatches op-by-op across the mesh.
     image = jax.jit(shard_fn)(scene)

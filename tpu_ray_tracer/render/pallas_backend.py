@@ -517,8 +517,14 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
         pixel = pid * TILE_PX + row_ids * TILE_LANES + lane_ids
-        pix_y = pixel // width
-        pix_x = pixel - pix_y * width
+        # row0 (cam_ref[17]) offsets this call's pixel rows into the full
+        # image: under row-sharded meshes each device renders rows
+        # [row0, row0 + rows_out) of the SAME global frame, so ndc_y below
+        # uses the global height while the grid covers only the local rows.
+        row0 = cam_ref[17].astype(jnp.int32)
+        pix_y_local = pixel // width
+        pix_x = pixel - pix_y_local * width
+        pix_y = pix_y_local + row0
 
         aspect_tanf = cam_ref[12]
         tanf = cam_ref[13]
@@ -643,7 +649,11 @@ def _pack_lights(scene: Scene):
     return table
 
 
-def _pack_camera(scene: Scene, camera: camera_ops.Camera):
+def _pack_camera(scene: Scene, camera: camera_ops.Camera, row0=0):
+    """[18] f32 scalar table: R columns (9), eye (3), aspect*tanf, tanf,
+    bg (3), row0. ``row0`` is the first image row this kernel call renders
+    (traced under shard_map: each device derives it from its axis index;
+    exact in f32 for any realistic image height)."""
     rotation, eye = camera_ops.camera_frame(camera)
     tanf = scene.tan_half_fov.astype(jnp.float32)
     return jnp.concatenate(
@@ -653,14 +663,22 @@ def _pack_camera(scene: Scene, camera: camera_ops.Camera):
             (tanf * scene.aspect_ratio)[None],
             tanf[None],
             scene.bg_color.astype(jnp.float32),
+            jnp.asarray(row0, jnp.float32)[None],
         ]
     )
 
 
 import os
 
-# CPU tests run the kernel in the Pallas interpreter (no Mosaic backend).
-_INTERPRET = os.environ.get("TRT_PALLAS_INTERPRET", "0") == "1"
+
+def _interpret_mode() -> bool:
+    """Pallas interpreter mode: forced via TRT_PALLAS_INTERPRET, else
+    automatic on hosts without a Mosaic backend (CPU — tests and the
+    driver's virtual-device multi-chip dry run)."""
+    env = os.environ.get("TRT_PALLAS_INTERPRET")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "cpu"
 
 # Newton iterations for shadow-occlusion solves. Default 1: the occlusion
 # boolean classifies identically to the full polish on all 8 reference
@@ -735,8 +753,10 @@ def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
                               n_cubic, perm, shadow_iters)
 
 
-def _grid_geometry(width: int, height: int):
-    n_px = height * width
+def _grid_geometry(width: int, rows_out: int):
+    """Tile count for rendering ``rows_out`` image rows of width ``width``
+    (the full frame, or one device's row block under a sharded mesh)."""
+    n_px = rows_out * width
     n_tiles = -(-n_px // TILE_PX)
     return n_px, n_tiles, n_tiles * TILE_ROWS
 
@@ -744,10 +764,16 @@ def _grid_geometry(width: int, height: int):
 def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
                   n_objects: int, n_lights: int, width: int, height: int,
                   polish_iters: int, bounces: int, n_cubic: int,
-                  save_aux: bool, shadow_iters: int | None = None):
-    """Launch the forward kernel on packed tables -> [H, W, 3] image
-    (+ per-pixel (t, slot, occ-bitmask) aux when save_aux)."""
-    n_px, n_tiles, rows_padded = _grid_geometry(width, height)
+                  save_aux: bool, shadow_iters: int | None = None,
+                  rows_out: int | None = None):
+    """Launch the forward kernel on packed tables -> [rows_out, W, 3] image
+    (+ per-pixel (t, slot, occ-bitmask) aux when save_aux). ``height`` is the
+    GLOBAL image height (sets the ndc scale); ``rows_out`` (default: height)
+    is how many rows this call renders, starting at the dynamic row offset
+    packed into cam[17]."""
+    if rows_out is None:
+        rows_out = height
+    n_px, n_tiles, rows_padded = _grid_geometry(width, rows_out)
     kernel = _make_kernel(
         n_objects, n_lights, width, height, polish_iters, bounces,
         n_cubic=n_cubic, save_aux=save_aux, shadow_iters=shadow_iters,
@@ -777,11 +803,11 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        interpret=_INTERPRET,
+        interpret=_interpret_mode(),
     )(coefs, orig_index, colors, refl, lights, cam)
     out = outs[0]
     flat = out.reshape(3, rows_padded * TILE_LANES)[:, :n_px]
-    image = jnp.transpose(flat.reshape(3, height, width), (1, 2, 0))
+    image = jnp.transpose(flat.reshape(3, rows_out, width), (1, 2, 0))
     if save_aux:
         return image, outs[1], outs[2], outs[3]
     return image
@@ -892,21 +918,23 @@ def _hessian_apply(coef, cache, one, v):
 
 
 def _acc_layout(n_objects: int, n_lights: int):
-    """Row assignment in the gradient accumulator: cam[17] | coefs[N*20] |
-    colors[N*3] | lights[L*7]."""
+    """Row assignment in the gradient accumulator: cam[18] | coefs[N*20] |
+    colors[N*3] | lights[L*7] | refl[N]. cam row 17 (the row offset) and the
+    refl rows are written only by the reflective backward."""
     row_cam = 0
-    row_coefs = 17
+    row_coefs = 18
     row_colors = row_coefs + n_objects * N_COEFS
     row_lights = row_colors + n_objects * 3
-    total = row_lights + n_lights * 7
-    return row_cam, row_coefs, row_colors, row_lights, total
+    row_refl = row_lights + n_lights * 7
+    total = row_refl + n_objects
+    return row_cam, row_coefs, row_colors, row_lights, row_refl, total
 
 
 def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
-    row_cam, row_coefs, row_colors, row_lights, total_rows = _acc_layout(
-        n_objects, n_lights
+    row_cam, row_coefs, row_colors, row_lights, _row_refl, total_rows = (
+        _acc_layout(n_objects, n_lights)
     )
 
     def kernel(coefs_ref, colors_ref, lights_ref, cam_ref,
@@ -926,8 +954,9 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
         pixel = pid * TILE_PX + row_ids * TILE_LANES + lane_ids
-        pix_y = pixel // width
-        pix_x = pixel - pix_y * width
+        pix_y_local = pixel // width
+        pix_x = pixel - pix_y_local * width
+        pix_y = pix_y_local + cam_ref[17].astype(jnp.int32)
         ndc_x = (pix_x.astype(jnp.float32) + 0.5) * np.float32(1.0 / width)
         ndc_y = (pix_y.astype(jnp.float32) + 0.5) * np.float32(1.0 / height)
         gxf = 2.0 * ndc_x - 1.0
@@ -1099,9 +1128,12 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
 
 
 def _dispatch_bwd(coefs, colors, lights, cam, g_tiles, t, slot, occ, *,
-                  n_objects: int, n_lights: int, width: int, height: int):
+                  n_objects: int, n_lights: int, width: int, height: int,
+                  rows_out: int | None = None):
     """Launch the backward kernel -> gradient accumulator [rows, 128]."""
-    _, n_tiles, _ = _grid_geometry(width, height)
+    if rows_out is None:
+        rows_out = height
+    _, n_tiles, _ = _grid_geometry(width, rows_out)
     kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height)
     tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -1122,49 +1154,56 @@ def _dispatch_bwd(coefs, colors, lights, cam, g_tiles, t, slot, occ, *,
         out_specs=pl.BlockSpec((total_rows, TILE_LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.float32),
-        interpret=_INTERPRET,
+        interpret=_interpret_mode(),
     )(coefs, colors, lights, cam, g_tiles, t, slot, occ)
     return acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
                    polish_iters: int, n_cubic: int, perm: tuple,
-                   shadow_iters: int | None = None):
+                   shadow_iters: int | None = None,
+                   rows_out: int | None = None):
     """Forward render on packed (permuted) tables, bounces == 0.
 
     custom_vjp pair: forward saves per-pixel (t, slot, occlusion bits) from
     the fused kernel; backward is the fused analytic kernel above — no root
-    solves anywhere in the backward pass."""
+    solves anywhere in the backward pass. ``rows_out`` renders only that many
+    rows starting at the row offset packed into cam[17] (the shard_map
+    per-device row block)."""
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     return _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=len(perm), n_lights=lights.shape[0],
         width=width, height=height, polish_iters=polish_iters,
         bounces=0, n_cubic=n_cubic, save_aux=False, shadow_iters=shadow_iters,
+        rows_out=rows_out,
     )
 
 
 def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
-                polish_iters, n_cubic, perm, shadow_iters=None):
+                polish_iters, n_cubic, perm, shadow_iters=None, rows_out=None):
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     image, t, slot, occ = _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=len(perm), n_lights=lights.shape[0],
         width=width, height=height, polish_iters=polish_iters,
         bounces=0, n_cubic=n_cubic, save_aux=True, shadow_iters=shadow_iters,
+        rows_out=rows_out,
     )
     return image, (coefs, colors, refl, lights, cam, t, slot, occ)
 
 
 def _packed_bwd(width, height, polish_iters, n_cubic, perm, shadow_iters,
-                res, g):
+                rows_out, res, g):
     coefs, colors, refl, lights, cam, t, slot, occ = res
     n_objects = len(perm)
     n_lights = lights.shape[0]
-    n_px, n_tiles, rows_padded = _grid_geometry(width, height)
+    if rows_out is None:
+        rows_out = height
+    n_px, n_tiles, rows_padded = _grid_geometry(width, rows_out)
 
-    # cotangent [H, W, 3] -> padded tile layout [3, rows_padded, 128]
+    # cotangent [rows_out, W, 3] -> padded tile layout [3, rows_padded, 128]
     # (exact inverse of the forward output postprocessing)
     gt = jnp.transpose(jnp.asarray(g, jnp.float32), (2, 0, 1)).reshape(3, n_px)
     pad = rows_padded * TILE_LANES - n_px
@@ -1175,12 +1214,16 @@ def _packed_bwd(width, height, polish_iters, n_cubic, perm, shadow_iters,
     acc = _dispatch_bwd(
         coefs, colors, lights, cam, g_tiles, t, slot, occ,
         n_objects=n_objects, n_lights=n_lights, width=width, height=height,
+        rows_out=rows_out,
     )
     vec = jnp.sum(acc, axis=1)  # lane reduction
-    row_cam, row_coefs, row_colors, row_lights, _total = _acc_layout(
+    row_cam, row_coefs, row_colors, row_lights, row_refl, _total = _acc_layout(
         n_objects, n_lights
     )
-    dcam = vec[row_cam:row_cam + 17]
+    # cam row 17 is the (integer) row offset: not a real parameter
+    dcam = vec[row_cam:row_cam + 18] * jnp.array(
+        [1.0] * 17 + [0.0], jnp.float32
+    )
     dcoefs = vec[row_coefs:row_coefs + n_objects * N_COEFS].reshape(
         n_objects, N_COEFS
     )
@@ -1188,10 +1231,11 @@ def _packed_bwd(width, height, polish_iters, n_cubic, perm, shadow_iters,
     dlights = vec[row_lights:row_lights + n_lights * 7].reshape(n_lights, 7)
     # column 0 of the light table is the non-differentiable spherical flag
     dlights = dlights * jnp.array([0.0] + [1.0] * 6, jnp.float32)
+    drefl = vec[row_refl:row_refl + n_objects]
     return (
         dcoefs.astype(coefs.dtype),
         dcolors.astype(colors.dtype),
-        jnp.zeros_like(refl),
+        drefl.astype(refl.dtype),
         dlights.astype(lights.dtype),
         dcam.astype(cam.dtype),
     )
@@ -1232,6 +1276,66 @@ def _diff_bwd(polish_iters, bounces, shadow_iters, res, g):
 
 
 _render_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
+def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
+                       *, polish_iters: int = 3, bounces: int = 0,
+                       n_cubic: int | None = None, perm: tuple | None = None,
+                       shadow_iters: int | None = None):
+    """Render image rows [row0, row0 + rows) with the fused kernel ->
+    [rows, W, 3] f32 — the per-device body for row-sharded meshes.
+
+    Designed to be called INSIDE ``shard_map`` (the TPU analogue of the
+    reference's CUDA grid being the parallel decomposition,
+    src/update-cuda.cu:104-163): ``row0`` may be a traced value derived from
+    ``jax.lax.axis_index``; ``rows`` is the static per-device block height.
+    ``perm``/``n_cubic`` are the host-side degree partition (compute them
+    OUTSIDE shard_map where coefficients are concrete via
+    ``partition_for_scene``); None treats every object as cubic — required
+    when coefficients are being optimized, since a gradient step can make a
+    statically-quadric object cubic.
+
+    Differentiable for bounces == 0 (the fused analytic backward kernel runs
+    per device; parameter-gradient psums are inserted by shard_map's AD).
+    """
+    if perm is None or n_cubic is None:
+        perm = tuple(range(scene.n_objects))
+        n_cubic = scene.n_objects
+    scene32 = scene.astype(jnp.float32)
+    camera32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), camera)
+    coefs, colors, refl = scene32.coefs, scene32.colors, scene32.reflection
+    if any(perm[i] != i for i in range(len(perm))):
+        idx = jnp.asarray(np.asarray(perm, np.int64))
+        coefs = jnp.take(coefs, idx, axis=0)
+        colors = jnp.take(colors, idx, axis=0)
+        refl = jnp.take(refl, idx, axis=0)
+    lights = _pack_lights(scene32)
+    cam = _pack_camera(scene32, camera32, row0=row0)
+    si = None if shadow_iters is None else int(shadow_iters)
+    if bounces == 0 and scene.n_objects > 0 and scene.n_lights <= 31:
+        return _packed_render(
+            coefs, colors, refl, lights, cam, scene.width, scene.height,
+            int(polish_iters), n_cubic, perm, si, int(rows),
+        )
+    orig_index = jnp.asarray(np.asarray(perm, np.int32))
+    return _dispatch_fwd(
+        coefs, orig_index, colors, refl, lights, cam,
+        n_objects=scene.n_objects, n_lights=scene.n_lights,
+        width=scene.width, height=scene.height,
+        polish_iters=int(polish_iters), bounces=int(bounces), n_cubic=n_cubic,
+        save_aux=False, shadow_iters=si, rows_out=int(rows),
+    )
+
+
+def partition_for_scene(scene: Scene):
+    """Host-side degree partition (perm, n_cubic) for a CONCRETE scene —
+    the static companion to ``render_rows_pallas``. Raises under tracing."""
+    if isinstance(scene.coefs, jax.core.Tracer):
+        raise TypeError(
+            "partition_for_scene needs concrete coefficients; call it "
+            "outside jit/shard_map and pass the result in"
+        )
+    return _partition_for(scene.coefs)
 
 
 def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
