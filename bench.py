@@ -2,12 +2,25 @@
 
 Renders scenes/dingdong.yml (1280x720, 3 objects, 2 lights — the scene the
 reference publishes ~25 ms / ~36.9 Mrays/s for its CUDA backend on,
-BASELINE.md) with the f32 fast path on the available accelerator, and prints
-ONE JSON line. ``vs_baseline`` is the ratio to the reference GPU's derived
-36.9 Mrays/s.
+BASELINE.md) with the fused Pallas kernel on the available accelerator and
+prints ONE JSON line. ``vs_baseline`` is the ratio to the reference GPU's
+derived 36.9 Mrays/s. monkey_saddle (the reference's second published
+datapoint, 28.2 Mrays/s) and 20spheres (many lights x many objects) are
+measured as aux figures, as is forward+backward throughput (gradients
+w.r.t. surface coefficients and light colors through the fused analytic
+backward kernel).
 
-Also measures forward+backward (gradient w.r.t. surface coefficients and
-light colors) as an auxiliary figure, since the TPU build is differentiable.
+Timing methodology (see .claude/skills/verify/SKILL.md): N frames with
+DISTINCT camera poses inside ONE jit via ``lax.map``, each frame reduced to
+a scalar, the result FETCHED — wall time / N. Pipelined async dispatch
+through the axon TPU relay is untrustworthy (the relay elides computations
+whose outputs are never fetched; block_until_ready alone does not force
+execution), so it is not used anywhere here.
+
+Parity is a GATE, not a report: each benched scene's full-resolution frame
+is compared against the f64 NumPy golden oracle, and the process exits
+nonzero if any scene exceeds its committed bad-pixel threshold — a kernel
+change that wins throughput by breaking parity turns the bench red.
 """
 
 import json
@@ -22,12 +35,27 @@ except ImportError:  # fresh checkout without install: run from the repo
     sys.path.insert(0, REPO)
 
 BASELINE_MRAYS = 36.864  # 921600 px / 25 ms (BASELINE.md, derived row 1)
+BASELINE_MRAYS_MONKEY = 28.235  # 480000 px / 17 ms (BASELINE.md, derived row 2)
+
+# Committed full-resolution parity gates: bad-pixel fraction (max channel
+# error > 2/255 vs the f64 NumPy golden) per scene. Headline dingdong
+# measured 0.0016 on TPU v5e in r1; the others leave the same margin over
+# their measured values. Exceeding a gate exits nonzero.
+PARITY_GATES = {
+    "dingdong": 0.006,
+    "monkey_saddle": 0.006,
+    "20spheres": 0.006,
+}
+
+FWD_FRAMES = 32
+FWDBWD_FRAMES = 8
 
 
-def main():
+def _bench_scene(name, scene, *, fwd_frames=FWD_FRAMES, measure_bwd=False):
+    """Measure one scene -> dict of numbers. Everything rides the fused
+    Pallas kernel (interpreter off-TPU would be meaninglessly slow, so
+    off-TPU this falls back to the XLA pipeline for a smoke number)."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/trt_bench_cache")
     import jax.numpy as jnp
     import numpy as np
 
@@ -37,126 +65,123 @@ def main():
     from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
     from tpu_ray_tracer.render.reference_cpu import render_image_np
 
-    scene = trt.load_from_file(os.path.join(REPO, "scenes", "dingdong.yml"))
     n_px = scene.width * scene.height
+    on_tpu = jax.devices()[0].platform != "cpu"
+    scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
     config = RenderConfig(geom_dtype="float32", polish_iters=3, bounces=0,
                           chunk_px=None)
-    camera = trt.Camera(
-        position=jnp.zeros(3, jnp.float32),
-        yaw_deg=jnp.asarray(90.0, jnp.float32),
-        pitch_deg=jnp.asarray(0.0, jnp.float32),
-    )
 
-    # Hot path: the fused Pallas tile kernel (falls back to the XLA pipeline
-    # off-TPU, where Mosaic isn't available).
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        # No outer jit: the wrapper degree-partitions the object table
-        # host-side (cubics-first), then calls a jitted kernel.
-        fwd = lambda s, c: _render_pallas_raw(s, c, config.polish_iters, 0)
-    else:
-        fwd = jax.jit(lambda s, c: _render_image_jit(s, c, config))
-    image = fwd(scene, camera)
-    image.block_until_ready()  # compile
-
-    # correctness gate: the timed kernel must match the f64 golden oracle
-    golden = render_image_np(scene)
-    err = np.abs(np.asarray(image) - golden).max(axis=-1)
-    bad_px_fraction = float((err > 2.0 / 255.0).mean())
-
-    # single-call latency (includes one host<->device round trip; on this
-    # rig the TPU is reached through a relay whose round trip dominates)
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fwd(scene, camera).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    latency_s = min(times)
-
-    # device throughput: pipeline many async dispatches of the (cached)
-    # frame and block once — the dispatches overlap the relay round trip,
-    # so per-frame time converges to sustained device+feed throughput.
-    # This is what a real-time loop achieves and the number comparable to
-    # the reference's per-frame kernel time.
-    import dataclasses as _dc
-
-    frames = 50
-    cameras = [
-        _dc.replace(camera, yaw_deg=camera.yaw_deg + 1e-3 * k)
-        for k in range(frames)
-    ]
-    # warm the pipeline
-    fwd(scene, cameras[0]).block_until_ready()
-    t0 = time.perf_counter()
-    out = None
-    for cam_k in cameras:
-        out = fwd(scene, cam_k)
-    out.block_until_ready()
-    fwd_s = (time.perf_counter() - t0) / frames
-    mrays_fwd = n_px / fwd_s / 1e6
-
-    # forward+backward: grad of mean-image loss w.r.t. scene params.
-    # On TPU this exercises the fused Pallas forward (which saves per-pixel
-    # t/slot/occlusion) + the fused analytic backward kernel; off-TPU it
-    # falls back to autodiff through the XLA pipeline.
-    template = scene.astype(jnp.float32)
-    params = extract_params(template)
-
-    if on_tpu:
-        from tpu_ray_tracer.render.pallas_backend import (
-            _degree_partition, _render_pallas_jit,
+    def cam(yaw):
+        return trt.Camera(
+            position=jnp.zeros(3, jnp.float32),
+            yaw_deg=jnp.asarray(yaw, jnp.float32),
+            pitch_deg=jnp.asarray(0.0, jnp.float32),
         )
 
-        perm_np, n_cubic = _degree_partition(template.coefs)
-        perm = tuple(int(i) for i in perm_np)
-
-        def render_fn(s, c):
-            return _render_pallas_jit(s, c, config.polish_iters, 0,
-                                      n_cubic, perm)
+    if on_tpu:
+        render = lambda s, c: _render_pallas_raw(s, c, config.polish_iters, 0)
     else:
-        def render_fn(s, c):
-            return _render_image_jit(s, c, config)
+        render = lambda s, c: _render_image_jit(s, c, config)
 
-    def loss_fn(params, camera):
-        s = apply_params(template, params)
-        img = render_fn(s, camera)
-        return jnp.mean(img * img)
+    # parity gate input: one full frame at the reference pose
+    image = np.asarray(render(scene32, cam(90.0)))
+    golden = render_image_np(scene)
+    err = np.abs(image - golden).max(axis=-1)
+    bad_px_fraction = float((err > 2.0 / 255.0).mean())
 
-    grad_fn = jax.jit(jax.grad(loss_fn))
-    jax.block_until_ready(grad_fn(params, camera))  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(grad_fn(params, camera))
-        times.append(time.perf_counter() - t0)
-    fwdbwd_s = min(times)
+    # forward throughput: fwd_frames distinct poses inside ONE jit
+    yaws = 90.0 + 1e-3 * jnp.arange(fwd_frames, dtype=jnp.float32)
 
-    # pipelined fwd+bwd throughput (same rationale as the forward number:
-    # overlapping dispatches hide the relay round trip)
-    grads = None
+    @jax.jit
+    def fwd_many(yaws):
+        return jax.lax.map(lambda y: jnp.sum(render(scene32, cam(y))), yaws)
+
+    np.asarray(fwd_many(yaws))  # compile + warm
     t0 = time.perf_counter()
-    for cam_k in cameras[:20]:
-        grads = grad_fn(params, cam_k)
-    jax.block_until_ready(grads)
-    fwdbwd_pipelined_s = (time.perf_counter() - t0) / 20
-    mrays_fwdbwd = n_px / fwdbwd_pipelined_s / 1e6
+    np.asarray(fwd_many(yaws))  # fetch forces real execution
+    fwd_s = (time.perf_counter() - t0) / fwd_frames
+    out = {
+        "frame_ms_fwd": fwd_s * 1e3,
+        "mrays_fwd": n_px / fwd_s / 1e6,
+        "parity_bad_px_fraction": bad_px_fraction,
+    }
 
+    if measure_bwd:
+        template = scene32
+        params = extract_params(template)
+
+        def loss_fn(params, yaw):
+            s = apply_params(template, params)
+            img = render(s, cam(yaw))
+            return jnp.mean(img * img)
+
+        @jax.jit
+        def fwdbwd_many(params, yaws):
+            def one(y):
+                g = jax.grad(loss_fn)(params, y)
+                return sum(jnp.sum(v) for v in g.values())
+            return jax.lax.map(one, yaws)
+
+        yaws_b = yaws[:FWDBWD_FRAMES]
+        np.asarray(fwdbwd_many(params, yaws_b))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(fwdbwd_many(params, yaws_b))
+        fwdbwd_s = (time.perf_counter() - t0) / FWDBWD_FRAMES
+        out["frame_ms_fwd_bwd"] = fwdbwd_s * 1e3
+        out["mrays_fwd_bwd"] = n_px / fwdbwd_s / 1e6
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/trt_bench_cache")
+
+    import tpu_ray_tracer as trt
+
+    scenes = {
+        name: trt.load_from_file(os.path.join(REPO, "scenes", name + ".yml"))
+        for name in ("dingdong", "monkey_saddle", "20spheres")
+    }
+    ding = _bench_scene("dingdong", scenes["dingdong"], measure_bwd=True)
+    monkey = _bench_scene("monkey_saddle", scenes["monkey_saddle"])
+    spheres = _bench_scene("20spheres", scenes["20spheres"],
+                           fwd_frames=FWDBWD_FRAMES)
+
+    results = {"dingdong": ding, "monkey_saddle": monkey, "20spheres": spheres}
     print(json.dumps({
         "metric": "mrays_per_s_fwd_dingdong_1280x720",
-        "value": round(mrays_fwd, 2),
+        "value": round(ding["mrays_fwd"], 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays_fwd / BASELINE_MRAYS, 3),
+        "vs_baseline": round(ding["mrays_fwd"] / BASELINE_MRAYS, 3),
         "aux": {
-            "frame_ms_fwd_device": round(fwd_s * 1e3, 3),
-            "single_call_latency_ms": round(latency_s * 1e3, 3),
-            "mrays_per_s_fwd_bwd": round(mrays_fwdbwd, 2),
-            "frame_ms_fwd_bwd_device": round(fwdbwd_pipelined_s * 1e3, 3),
-            "frame_ms_fwd_bwd_single_call": round(fwdbwd_s * 1e3, 3),
-            "parity_bad_px_fraction_vs_f64_golden": round(bad_px_fraction, 6),
-            "forward_backend": "pallas" if on_tpu else "xla",
+            "frame_ms_fwd_dingdong": round(ding["frame_ms_fwd"], 3),
+            "mrays_per_s_fwd_bwd_dingdong": round(ding["mrays_fwd_bwd"], 2),
+            "frame_ms_fwd_bwd_dingdong": round(ding["frame_ms_fwd_bwd"], 3),
+            "mrays_per_s_fwd_monkey_saddle": round(monkey["mrays_fwd"], 2),
+            "monkey_saddle_vs_baseline": round(
+                monkey["mrays_fwd"] / BASELINE_MRAYS_MONKEY, 3),
+            "mrays_per_s_fwd_20spheres": round(spheres["mrays_fwd"], 2),
+            "frame_ms_fwd_20spheres": round(spheres["frame_ms_fwd"], 3),
+            "parity_bad_px_fraction": {
+                k: round(v["parity_bad_px_fraction"], 6)
+                for k, v in results.items()
+            },
+            "forward_backend": ("pallas"
+                                if jax.devices()[0].platform != "cpu"
+                                else "xla"),
             "device": str(jax.devices()[0]),
         },
     }))
+
+    failures = [
+        f"{k}: {results[k]['parity_bad_px_fraction']:.6f} > {PARITY_GATES[k]}"
+        for k in results
+        if results[k]["parity_bad_px_fraction"] > PARITY_GATES[k]
+    ]
+    if failures:
+        print("PARITY GATE FAILED: " + "; ".join(failures), file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -203,8 +203,9 @@ def test_partition_cache_invalidates_on_new_array(jaxmod):
 
 
 def test_pallas_gradient_with_reflections(jaxmod):
-    """With bounces > 0 the backward falls back to the XLA-pipeline
-    recompute; the gradient must stay finite and nonzero."""
+    """With bounces > 0 the backward is the fused analytic kernel replaying
+    the reflection chain in reverse; the gradient must stay finite and
+    nonzero (strict parity vs XLA is the next test)."""
     jax, jnp = jaxmod
     from tpu_ray_tracer.render.pallas_backend import render_image_pallas
 
@@ -220,3 +221,64 @@ def test_pallas_gradient_with_reflections(jaxmod):
     g = np.asarray(jax.jit(jax.grad(loss))(scene32.coefs))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_pallas_fused_reflective_backward_matches_xla(jaxmod):
+    """The fused analytic backward through the REFLECTION CHAIN reproduces
+    jax.grad of the XLA pipeline at the same bounce count for every
+    differentiable input — including the reflection ratios, whose gradient
+    only exists through the chain's cumulative-ratio blend
+    (reference update-cuda.cu:126-146)."""
+    jax, jnp = jaxmod
+    import dataclasses as dc
+
+    from tpu_ray_tracer.render.pallas_backend import render_image_pallas
+    from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
+
+    bounces = 3
+    scene = dc.replace(
+        trt.load_from_file(scene_path("reflection_test")), width=32, height=16
+    )
+    scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
+    cam = trt.Camera(
+        position=jnp.zeros(3, jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(-10.0, jnp.float32),
+    )
+    config = RenderConfig(geom_dtype="float32", polish_iters=3,
+                          bounces=bounces, chunk_px=None)
+    w = jnp.linspace(0.1, 1.0, 32 * 16 * 3).reshape(16, 32, 3)
+
+    def make_loss(render):
+        def loss(coefs, refl, lcolor, lp, colors, bgc, pos, yaw, pitch):
+            s = dc.replace(scene32, coefs=coefs, reflection=refl,
+                           light_color=lcolor, light_p=lp, colors=colors,
+                           bg_color=bgc)
+            c = trt.Camera(position=pos, yaw_deg=yaw, pitch_deg=pitch)
+            return jnp.sum(w * render(s, c))
+        return loss
+
+    args = (scene32.coefs, scene32.reflection, scene32.light_color,
+            scene32.light_p, scene32.colors, scene32.bg_color,
+            cam.position, cam.yaw_deg, cam.pitch_deg)
+    argnums = tuple(range(len(args)))
+    # shadow_iters=3 matches the XLA pipeline's occlusion polish exactly
+    g_pallas = jax.grad(
+        make_loss(lambda s, c: render_image_pallas(
+            s, c, bounces=bounces, shadow_iters=3)), argnums
+    )(*args)
+    g_xla = jax.grad(
+        make_loss(lambda s, c: _render_image_jit(s, c, config)), argnums
+    )(*args)
+
+    names = ["coefs", "refl", "light_color", "light_p", "colors", "bg",
+             "pos", "yaw", "pitch"]
+    for name, a, b in zip(names, g_pallas, g_xla):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = max(np.abs(b).max(), 1e-6)
+        relerr = np.abs(a - b).max() / scale
+        tol = 2e-3 if np.abs(b).max() > 1.0 else 2e-2
+        assert relerr < tol, f"{name}: relerr {relerr:.2e}"
+    # the reflection-ratio gradient must be real, not vacuously zero
+    assert np.abs(np.asarray(g_xla[1])).max() > 0

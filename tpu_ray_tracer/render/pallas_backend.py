@@ -15,17 +15,19 @@ The math is the same refined f32 scheme as the XLA pipeline
 solve for candidate roots, direct-evaluation Newton refinement, residual
 rejection of phantom candidates, smallest-genuine-root selection.
 
-The public entry ``render_image_pallas`` is differentiable. For bounce-free
-renders the backward pass is a second fused Pallas kernel: the forward saves
-per-pixel (root t, hit slot, shadow-occlusion bitmask), so the backward runs
-ZERO root solves — it regenerates the ray, reconstructs the hit, and applies
-closed-form reverse rules (shading chain, normal via gradient+Hessian of F,
-implicit-function-theorem root derivative, camera ray-gen), accumulating
-parameter gradients in VMEM across the sequential tile grid. With
-reflections the VJP falls back to recomputing through the XLA pipeline
-(identical primary-hit math; shadow-occlusion solves there use the full
-polish_iters while the Pallas forward defaults to shadow_iters=1 — see
-``render_image_pallas``).
+The public entry ``render_image_pallas`` is differentiable. The backward
+pass is a second fused Pallas kernel: the forward saves per-pixel (root t,
+hit slot, shadow-occlusion bitmask) for the primary hit AND each reflection
+bounce, so the backward runs ZERO root solves — it regenerates the ray,
+reconstructs the whole reflection chain, and replays it in reverse with
+closed-form rules (cumulative-ratio blend, shading chain, normal via
+gradient+Hessian of F, implicit-function-theorem root derivative,
+reflect/bias inter-stage geometry, camera ray-gen), accumulating parameter
+gradients in VMEM across the sequential tile grid. Only scenes with more
+than 31 lights (the occlusion-bitmask width) fall back to recomputing
+gradients through the XLA pipeline (identical primary-hit math;
+shadow-occlusion solves there use the full polish_iters while the Pallas
+forward defaults to shadow_iters=1 — see ``render_image_pallas``).
 """
 
 from __future__ import annotations
@@ -550,11 +552,10 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         )
         result = [jnp.where(hit, lit[k], bg[k]) for k in range(3)]
         if save_aux:
-            t_ref, slot_ref, occ_ref = aux_refs
             t_hit, occ_bits = aux
-            t_ref[:, :] = jnp.where(hit, t_hit, 0.0)
-            slot_ref[:, :] = jnp.where(hit, idx, -1)
-            occ_ref[:, :] = occ_bits
+            aux_refs[0][:, :] = jnp.where(hit, t_hit, 0.0)
+            aux_refs[1][:, :] = jnp.where(hit, idx, -1)
+            aux_refs[2][:, :] = occ_bits
 
         if bounces > 0:
             # reflection chain (reference update-cuda.cu:126-146) as a
@@ -564,7 +565,17 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             # reflects — the TPU analogue of the reference's while-exit
             # (most tiles exhaust their chain in 0-1 bounces, not
             # max_reflections).
-            def bounce(_, carry):
+            zero_i = jnp.zeros_like(pix_x)
+            neg1_i = jnp.full_like(pix_x, -1)
+
+            def bounce_step(carry):
+                """One chain iteration -> (carry, (t, slot, occ) aux).
+
+                The aux triple fully determines the bounce for the backward
+                kernel: slot is -1 both where the lane never entered the
+                bounce and where the bounce ray missed (the two cases are
+                distinguished in the backward by replaying enter from the
+                PREVIOUS stage's slot + reflection ratio)."""
                 def run(carry):
                     result, ratio, active_f, refl_c, point, normal, d = carry
                     enter = (active_f > 0.5) & (refl_c > EPS)
@@ -579,7 +590,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                     nox = px + SHADOW_BIAS * nx
                     noy = py + SHADOW_BIAS * ny
                     noz = pz + SHADOW_BIAS * nz
-                    h2, _i2, r2, p2, n2, l2, _aux2 = trace_and_shade(
+                    h2, i2, r2, p2, n2, l2, aux2 = trace_and_shade(
                         coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
                         nox, noy, noz, rdx, rdy, rdz,
                     )
@@ -598,15 +609,22 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                                    for k in range(3))
                     d = (jnp.where(enter, rdx, ddx), jnp.where(enter, rdy, ddy),
                          jnp.where(enter, rdz, ddz))
+                    t2, occ2 = aux2
+                    aux_b = (
+                        jnp.where(adv, t2, 0.0),
+                        jnp.where(adv, i2, neg1_i),
+                        jnp.where(enter, occ2, zero_i),
+                    )
                     return (result, ratio, adv.astype(jnp.float32), refl_c,
-                            point, normal, d)
+                            point, normal, d), aux_b
 
                 def skip(carry):
                     # no lane enters: the full body would leave everything
                     # unchanged and set the active mask to zero
                     result, ratio, active_f, refl_c, point, normal, d = carry
                     return (result, ratio, jnp.zeros_like(active_f), refl_c,
-                            point, normal, d)
+                            point, normal, d), (jnp.zeros_like(result[0]),
+                                                neg1_i, zero_i)
 
                 if not use_skips:
                     return run(carry)
@@ -618,9 +636,20 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
             init = (result, jnp.ones_like(dx), hit.astype(jnp.float32), refl,
                     point, normal, (dx, dy, dz))
-            result, ratio, active_f, refl_c, *_rest = jax.lax.fori_loop(
-                0, bounces, bounce, init
-            )
+            if save_aux:
+                # unrolled so each bounce writes its own aux refs (bounces
+                # is small and static; the non-aux path keeps the fori_loop)
+                carry = init
+                for k in range(bounces):
+                    carry, aux_b = bounce_step(carry)
+                    aux_refs[3 * (k + 1) + 0][:, :] = aux_b[0]
+                    aux_refs[3 * (k + 1) + 1][:, :] = aux_b[1]
+                    aux_refs[3 * (k + 1) + 2][:, :] = aux_b[2]
+                result, ratio, active_f, refl_c, *_rest = carry
+            else:
+                result, ratio, active_f, refl_c, *_rest = jax.lax.fori_loop(
+                    0, bounces, lambda _, c: bounce_step(c)[0], init
+                )
             # at-cap background blend
             enter = (active_f > 0.5) & (refl_c > EPS)
             rr = ratio * refl_c
@@ -784,12 +813,15 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
     if save_aux:
         tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shapes += [
-            jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.float32),  # t
-            jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.int32),   # slot
-            jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.int32),   # occ
-        ]
-        out_specs += [tile_spec, tile_spec, tile_spec]
+        # one (t, slot, occ-bitmask) triple per chain stage: the primary hit
+        # plus each reflection bounce
+        for _stage in range(bounces + 1):
+            out_shapes += [
+                jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.int32),
+                jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.int32),
+            ]
+            out_specs += [tile_spec, tile_spec, tile_spec]
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -809,7 +841,7 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
     flat = out.reshape(3, rows_padded * TILE_LANES)[:, :n_px]
     image = jnp.transpose(flat.reshape(3, rows_out, width), (1, 2, 0))
     if save_aux:
-        return image, outs[1], outs[2], outs[3]
+        return image, tuple(outs[1:])
     return image
 
 
@@ -835,11 +867,12 @@ def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
     lights = _pack_lights(scene32)
     cam = _pack_camera(scene32, camera32)
 
-    if bounces == 0 and 0 < scene.n_objects and scene.n_lights <= 31:
+    if 0 < scene.n_objects and scene.n_lights <= 31:
         # differentiable path: fused forward + fused analytic backward
+        # (including through the reflection chain)
         return _packed_render(
             coefs, colors, refl, lights, cam,
-            scene.width, scene.height, polish_iters, n_cubic, perm,
+            scene.width, scene.height, polish_iters, bounces, n_cubic, perm,
             shadow_iters,
         )
     return _dispatch_fwd(
@@ -853,16 +886,20 @@ def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
 
 # --- fused backward kernel -------------------------------------------------
 #
-# The forward kernel saves per-pixel (t, hit slot, shadow-occlusion bitmask);
-# given those, the backward pass needs NO root solves at all: it regenerates
-# the ray, reconstructs the hit point, and applies closed-form reverse-mode
-# rules through shading, the normal (gradient + Hessian of F), the implicit-
-# function-theorem root derivative, and camera ray generation — mirroring
-# exactly what jax.grad produces for the XLA pipeline (ops/intersect.py
-# _intersect_bwd + autodiff of render/pipeline.py trace_and_shade), but fused
-# into one VPU pass per tile. Parameter gradients accumulate into a single
-# [rows, 128] VMEM block across the (sequential) TPU grid; lanes are summed
-# outside the kernel.
+# The forward kernel saves per-pixel (t, hit slot, shadow-occlusion bitmask)
+# per chain stage (primary hit + each reflection bounce); given those, the
+# backward pass needs NO root solves at all: it regenerates the ray,
+# reconstructs the whole reflection chain forward (hit points, normals,
+# shading, blend ratios — all closed-form given the saved roots), then
+# replays it in reverse applying closed-form reverse-mode rules through the
+# cumulative-ratio blend (reference update-cuda.cu:126-146), shading, the
+# normal (gradient + Hessian of F), the implicit-function-theorem root
+# derivative, the reflect/bias geometry between stages, and camera ray
+# generation — mirroring exactly what jax.grad produces for the XLA pipeline
+# (ops/intersect.py _intersect_bwd + autodiff of render/pipeline.py
+# render_rays), but fused into one VPU pass per tile. Parameter gradients
+# accumulate into a single [rows, 128] VMEM block across the (sequential)
+# TPU grid; lanes are summed outside the kernel.
 
 _GRAZING_CLAMP = 1e-6  # matches ops.intersect._GRAZING_CLAMP
 
@@ -930,15 +967,19 @@ def _acc_layout(n_objects: int, n_lights: int):
     return row_cam, row_coefs, row_colors, row_lights, row_refl, total
 
 
-def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
+def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
+                     bounces: int = 0):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
-    row_cam, row_coefs, row_colors, row_lights, _row_refl, total_rows = (
+    row_cam, row_coefs, row_colors, row_lights, row_refl, total_rows = (
         _acc_layout(n_objects, n_lights)
     )
+    n_stages = bounces + 1
 
-    def kernel(coefs_ref, colors_ref, lights_ref, cam_ref,
-               g_ref, t_ref, slot_ref, occ_ref, acc_ref):
+    def kernel(coefs_ref, colors_ref, refl_ref, lights_ref, cam_ref,
+               g_ref, *rest):
+        aux_refs = rest[:-1]  # 3 * n_stages refs: (t, slot, occ) per stage
+        acc_ref = rest[-1]
         pid = pl.program_id(0)
 
         @pl.when(pid == 0)
@@ -950,7 +991,7 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
         def add(row, field):
             contrib[row] = field if row not in contrib else contrib[row] + field
 
-        # --- regenerate the ray (identical math to the forward kernel) ---
+        # --- regenerate the primary ray (identical math to the forward) ---
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
         pixel = pid * TILE_PX + row_ids * TILE_LANES + lane_ids
@@ -969,40 +1010,30 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
         ty = cx * cam_ref[1] + cy * cam_ref[4] + cam_ref[7]
         tz = cx * cam_ref[2] + cy * cam_ref[5] + cam_ref[8]
         inv_len = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz)
-        d = [tx * inv_len, ty * inv_len, tz * inv_len]
+        d0 = [tx * inv_len, ty * inv_len, tz * inv_len]
 
         g = [g_ref[0, :, :], g_ref[1, :, :], g_ref[2, :, :]]
-        t = t_ref[:, :]
-        slot = slot_ref[:, :]
-        occ = occ_ref[:, :]
-        hit = slot >= 0
-        hitf = hit.astype(jnp.float32)
-        missf = 1.0 - hitf
-        one = jnp.ones_like(t)
+        one = jnp.ones_like(d0[0])
+        zero = jnp.zeros_like(d0[0])
+        bg = [jnp.full_like(zero, cam_ref[14 + c]) for c in range(3)]
 
-        # background: result = where(hit, lit, bg)
-        for k in range(3):
-            add(row_cam + 14 + k, g[k] * missf)
+        def gather_stage(slot):
+            sel = [zero] * N_COEFS
+            objc = [zero] * 3
+            rfl = zero
+            for i in range(n_objects):
+                m = slot == i
+                for k in range(N_COEFS):
+                    sel[k] = jnp.where(m, coefs_ref[i, k], sel[k])
+                for c in range(3):
+                    objc[c] = jnp.where(m, colors_ref[i, c], objc[c])
+                rfl = jnp.where(m, refl_ref[i], rfl)
+            return sel, objc, rfl
 
-        # --- reconstruct the hit state ---
-        zero = jnp.zeros_like(t)
-        sel = [zero] * N_COEFS
-        objc = [zero] * 3
-        for i in range(n_objects):
-            m = slot == i
-            for k in range(N_COEFS):
-                sel[k] = jnp.where(m, coefs_ref[i, k], sel[k])
-            for k in range(3):
-                objc[k] = jnp.where(m, colors_ref[i, k], objc[k])
-        p = [cam_ref[9] + t * d[0], cam_ref[10] + t * d[1], cam_ref[11] + t * d[2]]
-        pcache = _powers3(p[0], p[1], p[2])
-        _f, _mag, gF = _eval_F_and_grad(sel, p[0], p[1], p[2], need_mag=False)
-        nu = jnp.sqrt(gF[0] * gF[0] + gF[1] * gF[1] + gF[2] * gF[2])
-        inv_nu = 1.0 / jnp.where(nu > 0, nu, 1.0)
-        n = [gF[k] * inv_nu for k in range(3)]
-
-        def light_terms(li):
-            """Recompute the forward shading quantities for light li."""
+        def light_terms(li, st):
+            """Recompute the forward shading quantities for light li at a
+            chain stage's (point, normal, occlusion bits)."""
+            p, n, occ = st["p"], st["n"], st["occ"]
             is_sph = lights_ref[li, 0]
             sph = is_sph > 0.5
             lp = [lights_ref[li, 1], lights_ref[li, 2], lights_ref[li, 3]]
@@ -1023,91 +1054,245 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
             notocc = 1.0 - occ_l
             return sph, lp, lc, to, dist2, inv_dn, unit, ld, colr, ndotl, lam, notocc
 
-        # pass 1: pre-clamp lit sum decides the min(1, .) gradient mask
-        lit = [zero, zero, zero]
-        for li in range(n_lights):
-            _sph, _lp, _lc, _to, _d2, _idn, _u, _ld, colr, _nl, lam, notocc = (
-                light_terms(li)
-            )
-            s = lam * inv_pi * notocc
-            for c in range(3):
-                lit[c] = lit[c] + objc[c] * colr[c] * s
-        dlit = [g[c] * hitf * (lit[c] < 1.0).astype(jnp.float32)
-                for c in range(3)]
+        # === Phase A: reconstruct the chain forward (no root solves) ===
+        states = []
+        o = [jnp.full_like(zero, cam_ref[9 + k]) for k in range(3)]
+        d = d0
+        for s in range(n_stages):
+            t = aux_refs[3 * s][:, :]
+            slot = aux_refs[3 * s + 1][:, :]
+            occ = aux_refs[3 * s + 2][:, :]
+            hit = slot >= 0
+            sel, objc, rfl = gather_stage(slot)
+            p = [o[k] + t * d[k] for k in range(3)]
+            pcache = _powers3(p[0], p[1], p[2])
+            _f, _mag, gF = _eval_F_and_grad(sel, p[0], p[1], p[2],
+                                            need_mag=False)
+            nu = jnp.sqrt(gF[0] * gF[0] + gF[1] * gF[1] + gF[2] * gF[2])
+            inv_nu = 1.0 / jnp.where(nu > 0, nu, 1.0)
+            n = [gF[k] * inv_nu for k in range(3)]
+            st = dict(t=t, slot=slot, occ=occ, hit=hit,
+                      hitf=hit.astype(jnp.float32), sel=sel, objc=objc,
+                      rfl=rfl, o=o, d=d, p=p, pcache=pcache, gF=gF,
+                      inv_nu=inv_nu, n=n)
+            # pre-clamp lit (pass 1): sets both the clamp gradient mask and
+            # the blended color chain
+            lit = [zero, zero, zero]
+            for li in range(n_lights):
+                (_sph, _lp, _lc, _to, _d2, _idn, _u, _ld, colr, _nl, lam,
+                 notocc) = light_terms(li, st)
+                w = lam * inv_pi * notocc
+                for c in range(3):
+                    lit[c] = lit[c] + objc[c] * colr[c] * w
+            st["lit"] = lit
+            st["litc"] = [jnp.minimum(1.0, lit[c]) for c in range(3)]
+            states.append(st)
+            if s + 1 < n_stages:
+                o = [p[k] + SHADOW_BIAS * n[k] for k in range(3)]
+                dot = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
+                d = [d[k] - 2.0 * dot * n[k] for k in range(3)]
 
-        # pass 2: reverse through each light's contribution
-        dn_acc = [zero, zero, zero]
-        dpoint = [zero, zero, zero]
-        dobjc = [zero, zero, zero]
-        for li in range(n_lights):
-            sph, lp, lc, to, dist2, inv_dn, unit, ld, colr, ndotl, lam, notocc = (
-                light_terms(li)
-            )
-            u_lam = [dlit[c] * notocc for c in range(3)]
-            dlam = zero
-            ddist2 = zero
-            for c in range(3):
-                # contrib_c = objc_c * inv_pi * colr_c * lam
-                dobjc[c] = dobjc[c] + u_lam[c] * inv_pi * colr[c] * lam
-                dcol_c = u_lam[c] * objc[c] * inv_pi * lam
-                dlam = dlam + u_lam[c] * objc[c] * inv_pi * colr[c]
-                # colr_c = where(sph, lc_c / (4 pi dist2), lc_c)
-                add(row_lights + li * 7 + 4 + c,
-                    jnp.where(sph, dcol_c / (four_pi * dist2), dcol_c))
-                ddist2 = ddist2 - jnp.where(sph, dcol_c * colr[c] / dist2, 0.0)
-            dndotl = dlam * (ndotl > 0).astype(jnp.float32)
-            dld = [dndotl * n[k] for k in range(3)]
-            for k in range(3):
-                dn_acc[k] = dn_acc[k] + dndotl * ld[k]
-            # ld = where(sph, to/|to|, lp); dist2 = |to|^2 (spherical only)
-            udot = unit[0] * dld[0] + unit[1] * dld[1] + unit[2] * dld[2]
-            for k in range(3):
-                dto_k = (dld[k] - unit[k] * udot) * inv_dn + 2.0 * to[k] * ddist2
-                dto_k = jnp.where(sph, dto_k, 0.0)
-                add(row_lights + li * 7 + 1 + k, jnp.where(sph, dto_k, dld[k]))
-                dpoint[k] = dpoint[k] - dto_k
+        # blend chains: per-stage color c_s and cumulative ratio_s
+        # (reference update-cuda.cu:126-146; pipeline.py render_rays)
+        st0 = states[0]
+        c_chain = [[jnp.where(st0["hit"], st0["litc"][c], bg[c])
+                    for c in range(3)]]
+        ratio = [one]
+        enterf_chain = [one]  # stage 0 always traces
+        bcol_chain = [None]
+        for s in range(1, n_stages):
+            prev, st = states[s - 1], states[s]
+            enter = prev["hit"] & (prev["rfl"] > EPS)
+            enterf = enter.astype(jnp.float32)
+            r_s = jnp.where(enter, ratio[s - 1] * prev["rfl"], ratio[s - 1])
+            bcol = [jnp.where(st["hit"], st["litc"][c], bg[c])
+                    for c in range(3)]
+            c_s = [jnp.where(enter,
+                             (1.0 - r_s) * c_chain[s - 1][c] + r_s * bcol[c],
+                             c_chain[s - 1][c]) for c in range(3)]
+            ratio.append(r_s)
+            enterf_chain.append(enterf)
+            bcol_chain.append(bcol)
+            c_chain.append(c_s)
 
-        # --- normal backward: n = gF / |gF| ---
-        ndotdn = n[0] * dn_acc[0] + n[1] * dn_acc[1] + n[2] * dn_acc[2]
-        dgF = [(dn_acc[k] - n[k] * ndotdn) * inv_nu for k in range(3)]
-        # gF depends on (sel, point): d sel via d(grad mono); d point via Hessian
-        dsel = [zero] * N_COEFS
-        for axis in range(3):
-            dmono = _dmono_fields(pcache, one, axis)
+        # === Phase B: reverse sweep, last stage first ===
+
+        def shade_bwd(st, dlit):
+            """Reverse through the per-light Lambertian sum at one stage.
+            ``dlit`` is the cotangent of the PRE-clamp lit fields; light-table
+            gradient rows are accumulated via add(); returns the stage's
+            (dn, dpoint, dobjc)."""
+            objc = st["objc"]
+            n = st["n"]
+            dn_acc = [zero, zero, zero]
+            dpoint = [zero, zero, zero]
+            dobjc = [zero, zero, zero]
+            for li in range(n_lights):
+                (sph, lp, lc, to, dist2, inv_dn, unit, ld, colr, ndotl, lam,
+                 notocc) = light_terms(li, st)
+                u_lam = [dlit[c] * notocc for c in range(3)]
+                dlam = zero
+                ddist2 = zero
+                for c in range(3):
+                    # contrib_c = objc_c * inv_pi * colr_c * lam
+                    dobjc[c] = dobjc[c] + u_lam[c] * inv_pi * colr[c] * lam
+                    dcol_c = u_lam[c] * objc[c] * inv_pi * lam
+                    dlam = dlam + u_lam[c] * objc[c] * inv_pi * colr[c]
+                    # colr_c = where(sph, lc_c / (4 pi dist2), lc_c)
+                    add(row_lights + li * 7 + 4 + c,
+                        jnp.where(sph, dcol_c / (four_pi * dist2), dcol_c))
+                    ddist2 = ddist2 - jnp.where(
+                        sph, dcol_c * colr[c] / dist2, 0.0
+                    )
+                dndotl = dlam * (ndotl > 0).astype(jnp.float32)
+                dld = [dndotl * n[k] for k in range(3)]
+                for k in range(3):
+                    dn_acc[k] = dn_acc[k] + dndotl * ld[k]
+                # ld = where(sph, to/|to|, lp); dist2 = |to|^2 (spherical)
+                udot = unit[0] * dld[0] + unit[1] * dld[1] + unit[2] * dld[2]
+                for k in range(3):
+                    dto_k = ((dld[k] - unit[k] * udot) * inv_dn
+                             + 2.0 * to[k] * ddist2)
+                    dto_k = jnp.where(sph, dto_k, 0.0)
+                    add(row_lights + li * 7 + 1 + k,
+                        jnp.where(sph, dto_k, dld[k]))
+                    dpoint[k] = dpoint[k] - dto_k
+            return dn_acc, dpoint, dobjc
+
+        def stage_bwd(st, dlit, dn_in, dp_in, drefl_val):
+            """Close one chain stage: shading -> normal -> point -> IFT
+            backward; scatter per-object (coefs, colors, refl) gradients;
+            return (do, dd) — the cotangents of this stage's ray, which feed
+            the previous stage's geometry (or the camera for stage 0)."""
+            dn_sh, dp_sh, dobjc = shade_bwd(st, dlit)
+            dn = [dn_in[k] + dn_sh[k] for k in range(3)]
+            dpoint = [dp_in[k] + dp_sh[k] for k in range(3)]
+            n, gF, pcache, sel = st["n"], st["gF"], st["pcache"], st["sel"]
+            t, d = st["t"], st["d"]
+
+            # normal backward: n = gF / |gF|
+            ndotdn = n[0] * dn[0] + n[1] * dn[1] + n[2] * dn[2]
+            dgF = [(dn[k] - n[k] * ndotdn) * st["inv_nu"] for k in range(3)]
+            # gF depends on (sel, point): d sel via d(grad mono); d point via
+            # the Hessian of F
+            dsel = [zero] * N_COEFS
+            for axis in range(3):
+                dmono = _dmono_fields(pcache, one, axis)
+                for m in range(N_COEFS):
+                    if dmono[m] is not None:
+                        dsel[m] = dsel[m] + dgF[axis] * dmono[m]
+            hv = _hessian_apply(sel, pcache, one, dgF)
+            for k in range(3):
+                dpoint[k] = dpoint[k] + hv[k]
+
+            # point backward: p = o + t d
+            dt = dpoint[0] * d[0] + dpoint[1] * d[1] + dpoint[2] * d[2]
+            do = list(dpoint)
+            dd = [t * dpoint[k] for k in range(3)]
+
+            # implicit-function-theorem root backward
+            df_dt = gF[0] * d[0] + gF[1] * d[1] + gF[2] * d[2]
+            valid = st["hit"] & (jnp.abs(df_dt) > _GRAZING_CLAMP)
+            sc = dt * jnp.where(valid, -1.0 / jnp.where(valid, df_dt, 1.0), 0.0)
+            mono = _mono_fields(pcache, one)
             for m in range(N_COEFS):
-                if dmono[m] is not None:
-                    dsel[m] = dsel[m] + dgF[axis] * dmono[m]
-        hv = _hessian_apply(sel, pcache, one, dgF)
-        for k in range(3):
-            dpoint[k] = dpoint[k] + hv[k]
+                dsel[m] = dsel[m] + sc * mono[m]
+            for k in range(3):
+                do[k] = do[k] + sc * gF[k]
+                dd[k] = dd[k] + sc * t * gF[k]
 
-        # --- point backward: p = o + t d ---
-        dt = dpoint[0] * d[0] + dpoint[1] * d[1] + dpoint[2] * d[2]
-        do = list(dpoint)
-        dd = [t * dpoint[k] for k in range(3)]
+            # scatter per-object gradients by this stage's hit slot
+            slot = st["slot"]
+            for i in range(n_objects):
+                m = slot == i
+                for k in range(N_COEFS):
+                    add(row_coefs + i * N_COEFS + k, jnp.where(m, dsel[k], 0.0))
+                for c in range(3):
+                    add(row_colors + i * 3 + c, jnp.where(m, dobjc[c], 0.0))
+                if drefl_val is not None:
+                    add(row_refl + i, jnp.where(m, drefl_val, 0.0))
+            return do, dd
 
-        # --- implicit-function-theorem root backward ---
-        df_dt = gF[0] * d[0] + gF[1] * d[1] + gF[2] * d[2]
-        valid = hit & (jnp.abs(df_dt) > _GRAZING_CLAMP)
-        sc = dt * jnp.where(valid, -1.0 / jnp.where(valid, df_dt, 1.0), 0.0)
-        mono = _mono_fields(pcache, one)
-        for m in range(N_COEFS):
-            dsel[m] = dsel[m] + sc * mono[m]
-        for k in range(3):
-            do[k] = do[k] + sc * gF[k]
-            dd[k] = dd[k] + sc * t * gF[k]
-
-        # --- scatter per-object gradients ---
-        for i in range(n_objects):
-            m = slot == i
-            for k in range(N_COEFS):
-                add(row_coefs + i * N_COEFS + k, jnp.where(m, dsel[k], 0.0))
+        # cotangent of c_B (+ ratio/refl) through the final at-cap blend
+        # (reference update-cuda.cu:129-136: lanes still wanting to reflect
+        # absorb the background)
+        drefl_stage = [zero] * n_stages
+        if bounces > 0:
+            stB = states[-1]
+            entf_b = stB["hit"] & (stB["rfl"] > EPS)
+            entf = entf_b.astype(jnp.float32)
+            rr = ratio[-1] * stB["rfl"]
+            dc = [jnp.where(entf_b, g[c] * (1.0 - rr), g[c]) for c in range(3)]
+            drr = sum(g[c] * (bg[c] - c_chain[-1][c]) for c in range(3)) * entf
             for c in range(3):
-                add(row_colors + i * 3 + c, jnp.where(m, dobjc[c], 0.0))
+                add(row_cam + 14 + c, g[c] * rr * entf)
+            dratio = drr * stB["rfl"]
+            drefl_stage[-1] = drefl_stage[-1] + drr * ratio[-1]
+        else:
+            dc = list(g)
+            dratio = zero
 
-        # --- camera backward: d = target / |target| ---
-        dddot = d[0] * dd[0] + d[1] * dd[1] + d[2] * dd[2]
-        dtg = [(dd[k] - d[k] * dddot) * inv_len for k in range(3)]
+        do_nxt = [zero, zero, zero]
+        dd_nxt = [zero, zero, zero]
+        for s in range(n_stages - 1, -1, -1):
+            st = states[s]
+            if s > 0:
+                # blend backward:
+                # c_s = enter ? (1-r_s) c_{s-1} + r_s bcol_s : c_{s-1}
+                # r_s = enter ? r_{s-1} * rfl_{s-1} : r_{s-1}
+                prev = states[s - 1]
+                enter_b = prev["hit"] & (prev["rfl"] > EPS)
+                enterf = enterf_chain[s]
+                r_s = ratio[s]
+                bcol = bcol_chain[s]
+                dcol = [dc[c] * r_s * enterf for c in range(3)]
+                dratio = dratio + sum(
+                    dc[c] * (bcol[c] - c_chain[s - 1][c]) for c in range(3)
+                ) * enterf
+                dc = [jnp.where(enter_b, dc[c] * (1.0 - r_s), dc[c])
+                      for c in range(3)]
+                drefl_stage[s - 1] = drefl_stage[s - 1] + jnp.where(
+                    enter_b, dratio * ratio[s - 1], 0.0
+                )
+                dratio = jnp.where(enter_b, dratio * prev["rfl"], dratio)
+            else:
+                dcol = dc
+
+            # stage color: bcol/result = where(hit, min(1, lit), bg)
+            hitf = st["hitf"]
+            dlit = [dcol[c] * hitf * (st["lit"][c] < 1.0).astype(jnp.float32)
+                    for c in range(3)]
+            for c in range(3):
+                add(row_cam + 14 + c, dcol[c] * (1.0 - hitf))
+
+            # geometry cotangents flowing back from stage s+1's ray:
+            # o_{s+1} = p_s + SHADOW_BIAS n_s; d_{s+1} = d_s - 2 (d_s.n_s) n_s
+            # (do_nxt/dd_nxt are identically zero for lanes that never
+            # advanced past stage s, so no enter mask is needed here)
+            dp_in = list(do_nxt)
+            dn_in = [SHADOW_BIAS * do_nxt[k] for k in range(3)]
+            n, d = st["n"], st["d"]
+            if s + 1 < n_stages:
+                nddp = n[0] * dd_nxt[0] + n[1] * dd_nxt[1] + n[2] * dd_nxt[2]
+                dddp = d[0] * dd_nxt[0] + d[1] * dd_nxt[1] + d[2] * dd_nxt[2]
+                u = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
+                dd_in = [dd_nxt[k] - 2.0 * n[k] * nddp for k in range(3)]
+                for k in range(3):
+                    dn_in[k] = dn_in[k] - 2.0 * (nddp * d[k] + u * dd_nxt[k])
+            else:
+                dd_in = [zero, zero, zero]
+
+            do_s, dd_s = stage_bwd(
+                st, dlit, dn_in, dp_in,
+                drefl_stage[s] if bounces > 0 else None,
+            )
+            do_nxt = do_s
+            dd_nxt = [dd_s[k] + dd_in[k] for k in range(3)]
+
+        # --- camera backward: d0 = target / |target| ---
+        do, dd = do_nxt, dd_nxt
+        dddot = d0[0] * dd[0] + d0[1] * dd[1] + d0[2] * dd[2]
+        dtg = [(dd[k] - d0[k] * dddot) * inv_len for k in range(3)]
         for k in range(3):
             add(row_cam + k, cx * dtg[k])        # column 0
             add(row_cam + 3 + k, cy * dtg[k])    # column 1
@@ -1127,14 +1312,17 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int):
     return kernel, total_rows
 
 
-def _dispatch_bwd(coefs, colors, lights, cam, g_tiles, t, slot, occ, *,
+def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
                   n_objects: int, n_lights: int, width: int, height: int,
-                  rows_out: int | None = None):
-    """Launch the backward kernel -> gradient accumulator [rows, 128]."""
+                  bounces: int = 0, rows_out: int | None = None):
+    """Launch the backward kernel -> gradient accumulator [rows, 128].
+    ``aux`` is the flat per-stage (t, slot, occ) tuple the forward saved —
+    3 * (bounces + 1) arrays."""
     if rows_out is None:
         rows_out = height
     _, n_tiles, _ = _grid_geometry(width, rows_out)
-    kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height)
+    kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height,
+                                          bounces=bounces)
     tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
@@ -1143,60 +1331,60 @@ def _dispatch_bwd(coefs, colors, lights, cam, g_tiles, t, slot, occ, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 20]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # colors [N, 3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # refl [N]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 7]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera [17]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera [18]
             pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),  # cotangent
-            tile_spec,                              # t
-            tile_spec,                              # slot
-            tile_spec,                              # occ bits
-        ],
+        ] + [tile_spec] * len(aux),                 # (t, slot, occ) per stage
         out_specs=pl.BlockSpec((total_rows, TILE_LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.float32),
         interpret=_interpret_mode(),
-    )(coefs, colors, lights, cam, g_tiles, t, slot, occ)
+    )(coefs, colors, refl, lights, cam, g_tiles, *aux)
     return acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
-                   polish_iters: int, n_cubic: int, perm: tuple,
+                   polish_iters: int, bounces: int, n_cubic: int, perm: tuple,
                    shadow_iters: int | None = None,
                    rows_out: int | None = None):
-    """Forward render on packed (permuted) tables, bounces == 0.
+    """Forward render on packed (permuted) tables.
 
-    custom_vjp pair: forward saves per-pixel (t, slot, occlusion bits) from
-    the fused kernel; backward is the fused analytic kernel above — no root
-    solves anywhere in the backward pass. ``rows_out`` renders only that many
-    rows starting at the row offset packed into cam[17] (the shard_map
-    per-device row block)."""
+    custom_vjp pair: forward saves per-pixel (t, slot, occlusion bits) per
+    chain stage from the fused kernel; backward is the fused analytic kernel
+    above — no root solves anywhere in the backward pass, including through
+    the reflection chain. ``rows_out`` renders only that many rows starting
+    at the row offset packed into cam[17] (the shard_map per-device row
+    block)."""
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     return _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=len(perm), n_lights=lights.shape[0],
         width=width, height=height, polish_iters=polish_iters,
-        bounces=0, n_cubic=n_cubic, save_aux=False, shadow_iters=shadow_iters,
-        rows_out=rows_out,
+        bounces=bounces, n_cubic=n_cubic, save_aux=False,
+        shadow_iters=shadow_iters, rows_out=rows_out,
     )
 
 
 def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
-                polish_iters, n_cubic, perm, shadow_iters=None, rows_out=None):
+                polish_iters, bounces, n_cubic, perm, shadow_iters=None,
+                rows_out=None):
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
-    image, t, slot, occ = _dispatch_fwd(
+    image, aux = _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=len(perm), n_lights=lights.shape[0],
         width=width, height=height, polish_iters=polish_iters,
-        bounces=0, n_cubic=n_cubic, save_aux=True, shadow_iters=shadow_iters,
-        rows_out=rows_out,
+        bounces=bounces, n_cubic=n_cubic, save_aux=True,
+        shadow_iters=shadow_iters, rows_out=rows_out,
     )
-    return image, (coefs, colors, refl, lights, cam, t, slot, occ)
+    return image, (coefs, colors, refl, lights, cam, aux)
 
 
-def _packed_bwd(width, height, polish_iters, n_cubic, perm, shadow_iters,
-                rows_out, res, g):
-    coefs, colors, refl, lights, cam, t, slot, occ = res
+def _packed_bwd(width, height, polish_iters, bounces, n_cubic, perm,
+                shadow_iters, rows_out, res, g):
+    coefs, colors, refl, lights, cam, aux = res
     n_objects = len(perm)
     n_lights = lights.shape[0]
     if rows_out is None:
@@ -1212,9 +1400,9 @@ def _packed_bwd(width, height, polish_iters, n_cubic, perm, shadow_iters,
     g_tiles = gt.reshape(3, rows_padded, TILE_LANES)
 
     acc = _dispatch_bwd(
-        coefs, colors, lights, cam, g_tiles, t, slot, occ,
+        coefs, colors, refl, lights, cam, g_tiles, aux,
         n_objects=n_objects, n_lights=n_lights, width=width, height=height,
-        rows_out=rows_out,
+        bounces=bounces, rows_out=rows_out,
     )
     vec = jnp.sum(acc, axis=1)  # lane reduction
     row_cam, row_coefs, row_colors, row_lights, row_refl, _total = _acc_layout(
@@ -1256,9 +1444,10 @@ def _diff_fwd(scene, camera, polish_iters, bounces, shadow_iters=None):
 
 
 def _diff_bwd(polish_iters, bounces, shadow_iters, res, g):
-    # Gradient fallback for the reflective path: recompute through the XLA
-    # pipeline. NOTE the pipeline's occlusion solves use the full
-    # polish_iters while the Pallas forward uses the (coarser) shadow_iters,
+    # Gradient fallback for scenes the fused backward can't encode
+    # (> 31 lights — occlusion-bitmask width — or zero objects): recompute
+    # through the XLA pipeline. NOTE the pipeline's occlusion solves use the
+    # full polish_iters while the Pallas forward uses the (coarser) shadow_iters,
     # so primal and gradient can disagree on occlusion classification at
     # penumbra-boundary pixels — acceptable because occlusion is a
     # non-differentiable boolean (stop_gradient'd in the pipeline) and the
@@ -1312,10 +1501,10 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
     lights = _pack_lights(scene32)
     cam = _pack_camera(scene32, camera32, row0=row0)
     si = None if shadow_iters is None else int(shadow_iters)
-    if bounces == 0 and scene.n_objects > 0 and scene.n_lights <= 31:
+    if scene.n_objects > 0 and scene.n_lights <= 31:
         return _packed_render(
             coefs, colors, refl, lights, cam, scene.width, scene.height,
-            int(polish_iters), n_cubic, perm, si, int(rows),
+            int(polish_iters), int(bounces), n_cubic, perm, si, int(rows),
         )
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     return _dispatch_fwd(
@@ -1343,12 +1532,14 @@ def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
                         shadow_iters: int | None = None):
     """Render a full frame with the fused Pallas kernel -> [H, W, 3] f32.
 
-    Differentiable. For bounce-free renders the backward pass is the fused
-    analytic Pallas kernel (``_make_bwd_kernel``) — forward saves per-pixel
-    (t, slot, occlusion bits), so the backward runs zero root solves. With
-    reflections the backward falls back to recomputing through the XLA
-    pipeline (same primary-hit math; see ``_diff_bwd`` for the shadow-solve
-    precision caveat).
+    Differentiable. The backward pass is the fused analytic Pallas kernel
+    (``_make_bwd_kernel``) — the forward saves per-pixel (t, slot, occlusion
+    bits) for the primary hit and each reflection bounce, so the backward
+    runs zero root solves: it reconstructs the chain and replays it in
+    reverse with closed-form rules. Only scenes with more than 31 lights
+    (occlusion bitmask width) fall back to recomputing gradients through the
+    XLA pipeline (same primary-hit math; see ``_diff_bwd`` for the
+    shadow-solve precision caveat).
 
     ``shadow_iters`` sets the Newton polish count for shadow-occlusion
     solves, clamped to [1, polish_iters]. Default (None) is 1 — measured
@@ -1364,8 +1555,9 @@ def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
             scene, xla_pipeline.RenderConfig()
         )
     si = None if shadow_iters is None else int(shadow_iters)
-    if bounces == 0 and scene.n_objects > 0 and scene.n_lights <= 31:
+    if scene.n_objects > 0 and scene.n_lights <= 31:
         # _render_pallas_jit routes to _packed_render, whose custom VJP is
         # the fused backward kernel.
-        return _render_pallas_raw(scene, camera, int(polish_iters), 0, si)
+        return _render_pallas_raw(scene, camera, int(polish_iters),
+                                  int(bounces), si)
     return _render_pallas_diff(scene, camera, int(polish_iters), int(bounces), si)
