@@ -45,13 +45,15 @@ PARITY_GATES = {
     "dingdong": 0.006,
     "monkey_saddle": 0.006,
     "20spheres": 0.006,
+    "reflection_test": 0.006,
 }
 
 FWD_FRAMES = 32
 FWDBWD_FRAMES = 8
 
 
-def _bench_scene(name, scene, *, fwd_frames=FWD_FRAMES, measure_bwd=False):
+def _bench_scene(name, scene, *, fwd_frames=FWD_FRAMES, measure_bwd=False,
+                 bounces=0):
     """Measure one scene -> dict of numbers. Everything rides the fused
     Pallas kernel (interpreter off-TPU would be meaninglessly slow, so
     off-TPU this falls back to the XLA pipeline for a smoke number)."""
@@ -68,8 +70,8 @@ def _bench_scene(name, scene, *, fwd_frames=FWD_FRAMES, measure_bwd=False):
     n_px = scene.width * scene.height
     on_tpu = jax.devices()[0].platform != "cpu"
     scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
-    config = RenderConfig(geom_dtype="float32", polish_iters=3, bounces=0,
-                          chunk_px=None)
+    config = RenderConfig(geom_dtype="float32", polish_iters=3,
+                          bounces=bounces, chunk_px=None)
 
     def cam(yaw):
         return trt.Camera(
@@ -79,7 +81,8 @@ def _bench_scene(name, scene, *, fwd_frames=FWD_FRAMES, measure_bwd=False):
         )
 
     if on_tpu:
-        render = lambda s, c: _render_pallas_raw(s, c, config.polish_iters, 0)
+        render = lambda s, c: _render_pallas_raw(s, c, config.polish_iters,
+                                                 bounces)
     else:
         render = lambda s, c: _render_image_jit(s, c, config)
 
@@ -141,14 +144,21 @@ def main():
 
     scenes = {
         name: trt.load_from_file(os.path.join(REPO, "scenes", name + ".yml"))
-        for name in ("dingdong", "monkey_saddle", "20spheres")
+        for name in ("dingdong", "monkey_saddle", "20spheres",
+                     "reflection_test")
     }
     ding = _bench_scene("dingdong", scenes["dingdong"], measure_bwd=True)
     monkey = _bench_scene("monkey_saddle", scenes["monkey_saddle"])
     spheres = _bench_scene("20spheres", scenes["20spheres"],
                            fwd_frames=FWDBWD_FRAMES)
+    # the reflective scene runs its full 5-bounce chain, fwd AND fused
+    # analytic bwd through the chain (reference update-cuda.cu:126-146)
+    refl = _bench_scene("reflection_test", scenes["reflection_test"],
+                        fwd_frames=FWDBWD_FRAMES, measure_bwd=True,
+                        bounces=scenes["reflection_test"].max_reflections)
 
-    results = {"dingdong": ding, "monkey_saddle": monkey, "20spheres": spheres}
+    results = {"dingdong": ding, "monkey_saddle": monkey,
+               "20spheres": spheres, "reflection_test": refl}
     print(json.dumps({
         "metric": "mrays_per_s_fwd_dingdong_1280x720",
         "value": round(ding["mrays_fwd"], 2),
@@ -163,6 +173,9 @@ def main():
                 monkey["mrays_fwd"] / BASELINE_MRAYS_MONKEY, 3),
             "mrays_per_s_fwd_20spheres": round(spheres["mrays_fwd"], 2),
             "frame_ms_fwd_20spheres": round(spheres["frame_ms_fwd"], 3),
+            "mrays_per_s_fwd_reflection5b": round(refl["mrays_fwd"], 2),
+            "mrays_per_s_fwd_bwd_reflection5b": round(
+                refl["mrays_fwd_bwd"], 2),
             "parity_bad_px_fraction": {
                 k: round(v["parity_bad_px_fraction"], 6)
                 for k, v in results.items()

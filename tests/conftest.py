@@ -52,3 +52,9 @@ def scene_path(name: str) -> str:
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(20260817)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (multi-process etc.)"
+    )

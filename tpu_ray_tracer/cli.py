@@ -150,7 +150,16 @@ def cmd_fit(args) -> int:
 
     scene = _load(args)
     config = RenderConfig(geom_dtype="float32", polish_iters=2, chunk_px=None)
-    mesh = make_mesh()
+    if args.distributed:
+        # multi-process job: bring up jax.distributed (coordinator/process
+        # info from the environment) and span the mesh over every chip in
+        # the job; the gradient psum then rides ICI/DCN across hosts.
+        from .parallel.multihost import global_pixel_mesh, initialize_distributed
+
+        initialize_distributed()
+        mesh = global_pixel_mesh()
+    else:
+        mesh = make_mesh()
     camera = None
 
     if args.target:
@@ -166,12 +175,16 @@ def cmd_fit(args) -> int:
         param_fields=tuple(args.params.split(",")),
         learning_rate=args.lr,
     )
+    import jax
+
+    log = print if jax.process_index() == 0 else (lambda *a, **k: None)
     params, losses = fit(
         problem, target, steps=args.steps, mesh=mesh,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        print_fn=log,
     )
-    print(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e} over {len(losses)} steps")
+    log(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e} over {len(losses)} steps")
     return 0
 
 
@@ -288,6 +301,9 @@ def main(argv=None) -> int:
                    help="comma-separated scene fields to optimize")
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process job: initialize jax.distributed from "
+                        "the environment and shard over every chip in the job")
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("view", help="interactive terminal viewer (fly camera)")

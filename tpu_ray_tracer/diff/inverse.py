@@ -62,8 +62,8 @@ class InverseProblem:
     #                                 global clip pins the direction to those
     #                                 spikes — prefer per-coordinate Adam alone
     backend: str = "xla"           # "pallas": fused fwd+bwd kernels per device
-    #                                 (bounce-free scenes; reflective templates
-    #                                 fall back to the XLA pipeline)
+    #                                 (including reflective scenes; > 31-light
+    #                                 scenes fall back to the XLA pipeline)
 
     def optimizer(self):
         if self.grad_clip is not None:
@@ -106,7 +106,12 @@ def make_loss_fn(problem: InverseProblem, mesh):
     rows_local = height_padded // n_dev
     n_valid = template.height * template.width * 3
 
-    use_pallas = problem.backend == "pallas" and bounces == 0
+    # The fused Pallas fwd+bwd pair covers the reflection chain; only
+    # > 31-light scenes (occlusion-bitmask width) and empty scenes must take
+    # the XLA pipeline, whose gradient is plain AD.
+    use_pallas = (problem.backend == "pallas"
+                  and 0 < problem.scene_template.n_objects
+                  and problem.scene_template.n_lights <= 31)
     if use_pallas:
         # All-cubic identity partition whenever coefficients are optimized
         # (a gradient step can turn a statically-quadric object cubic, which
@@ -126,7 +131,7 @@ def make_loss_fn(problem: InverseProblem, mesh):
             from ..render.pallas_backend import render_rows_pallas
             colors = render_rows_pallas(
                 scene, camera, y0, rows_local,
-                polish_iters=problem.config.polish_iters, bounces=0,
+                polish_iters=problem.config.polish_iters, bounces=bounces,
                 n_cubic=n_cubic, perm=perm,
             )
         else:

@@ -50,17 +50,30 @@ def global_pixel_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()), (AXIS,))
 
 
+def _row_span(height: int, device_process_ids, pid: int):
+    """Pure core of ``host_local_rows``: (start_row, n_rows) for the process
+    ``pid`` given the mesh's flat device->process assignment. Requires the
+    process's devices to be contiguous in mesh order (true for
+    ``jax.devices()``, which sorts by process); raises otherwise rather than
+    silently returning a wrong span."""
+    ids = np.flatnonzero(np.asarray(device_process_ids) == pid)
+    if ids.size == 0:
+        return 0, 0
+    if ids[-1] - ids[0] != ids.size - 1:
+        raise ValueError(
+            f"process {pid}'s devices are not contiguous in mesh order: "
+            f"positions {ids.tolist()}"
+        )
+    n_dev = len(device_process_ids)
+    rows_per_dev = -(-height // n_dev)
+    start = int(ids[0]) * rows_per_dev
+    n_rows = int(ids.size) * rows_per_dev
+    start = min(start, height)
+    return start, max(0, min(n_rows, height - start))
+
+
 def host_local_rows(height: int, mesh: Mesh):
     """(start_row, n_rows) of this process's contiguous row span — useful
     for host-side IO (e.g. each host writes its strip of the framebuffer)."""
-    n_dev = mesh.shape[AXIS]
-    rows_per_dev = -(-height // n_dev)
-    local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
-    if not local:
-        return 0, 0
-    ids = sorted(np.flatnonzero(
-        [d.process_index == jax.process_index() for d in mesh.devices.flat]
-    ))
-    start = int(ids[0]) * rows_per_dev
-    n_rows = len(ids) * rows_per_dev
-    return start, max(0, min(n_rows, height - start))
+    pids = [d.process_index for d in mesh.devices.flat]
+    return _row_span(height, pids, jax.process_index())
