@@ -117,6 +117,10 @@ def make_loss_fn(problem: InverseProblem, mesh):
         # (a gradient step can turn a statically-quadric object cubic, which
         # a frozen template partition would silently mis-render); otherwise
         # the template's host-side partition is valid for the whole run.
+        # Light kinds are structural (is_spherical is never a parameter),
+        # so they are always specialized.
+        from ..render.pallas_backend import light_kinds_for_scene
+        kinds = light_kinds_for_scene(problem.scene_template)
         if "coefs" in problem.param_fields:
             perm, n_cubic = None, None
         else:
@@ -132,7 +136,7 @@ def make_loss_fn(problem: InverseProblem, mesh):
             colors = render_rows_pallas(
                 scene, camera, y0, rows_local,
                 polish_iters=problem.config.polish_iters, bounces=bounces,
-                n_cubic=n_cubic, perm=perm,
+                n_cubic=n_cubic, perm=perm, light_kinds=kinds,
             )
         else:
             colors = _device_render(scene, camera, rows_local, problem.config,

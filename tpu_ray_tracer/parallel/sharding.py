@@ -70,10 +70,13 @@ def render_image_sharded(scene: Scene, camera: camera_ops.Camera, mesh: Mesh,
     scene = scene.astype(dtype)
     camera = jax.tree.map(lambda x: jnp.asarray(x, dtype), camera)
     if backend == "pallas":
-        # degree partition needs concrete coefficients: host-side, shared by
-        # every device (the permutation is static data compiled in)
-        from ..render.pallas_backend import partition_for_scene, render_rows_pallas
+        # degree partition + light kinds need concrete scene tables:
+        # host-side, shared by every device (static data compiled in)
+        from ..render.pallas_backend import (
+            light_kinds_for_scene, partition_for_scene, render_rows_pallas,
+        )
         perm, n_cubic = partition_for_scene(scene)
+        kinds = light_kinds_for_scene(scene)
 
     def device_program(scene_local: Scene):
         idx = jax.lax.axis_index(AXIS)
@@ -82,7 +85,7 @@ def render_image_sharded(scene: Scene, camera: camera_ops.Camera, mesh: Mesh,
             return render_rows_pallas(
                 scene_local, camera, y0, rows_local,
                 polish_iters=config.polish_iters, bounces=bounces,
-                n_cubic=n_cubic, perm=perm,
+                n_cubic=n_cubic, perm=perm, light_kinds=kinds,
             )
         rotation, eye = camera_ops.camera_frame(camera)
         dirs = camera_ops.pixel_directions(

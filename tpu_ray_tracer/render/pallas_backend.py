@@ -304,7 +304,8 @@ def _read_coef_row(coefs_ref, i):
 
 def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                  polish_iters: int, bounces: int, n_cubic: int | None = None,
-                 save_aux: bool = False, shadow_iters: int | None = None):
+                 save_aux: bool = False, shadow_iters: int | None = None,
+                 light_kinds: tuple | None = None):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
     if n_cubic is None:
@@ -388,16 +389,22 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         occlusion bitmask (bit li set iff light li is shadowed) so the
         backward kernel can skip re-running the occlusion solves.
 
-        Two tile-uniform skips bound the O(lights x objects) occlusion cost
-        (the TPU analogue of the reference's per-pixel first-occluder break,
-        update-cuda.cu:87-94 — per-lane breaks don't exist on a VPU, but a
-        whole tile agreeing does):
-        * the occlusion sweep is skipped outright when no lane in the tile
-          faces the light (lam <= 0 everywhere: the Lambert factor already
-          zeroes the contribution, and every gradient path through this
-          light is proportional to lam or gated by ndotl > 0);
-        * the per-object sweep is a while_loop that stops as soon as every
-          lane is occluded (extra occluders cannot change the boolean).
+        The O(lights x objects) occlusion cost is bounded three ways:
+        * every light shares ONE shadow origin (the biased hit point), so
+          each quadric object's F and gradient there are computed once and
+          reused across all lights — the per-(light, object) work collapses
+          to assembling t2 = Q(d), t1 = gF.d, t0 = F and a closed-form
+          stable quadratic test (~15 VPU ops);
+        * ``light_kinds`` (static per scene) specializes each light: a
+          directional light's shadow direction is an SMEM scalar triple, so
+          its Q(d) is a traced scalar and the dead spherical falloff math
+          disappears;
+        * tile-uniform skips (the TPU analogue of the reference's per-pixel
+          first-occluder break, update-cuda.cu:87-94): the whole sweep is
+          skipped when no lane in the tile faces the light (lam <= 0
+          everywhere — the Lambert factor already zeroes the contribution
+          and gates every gradient path), and the cubic-object sweep is a
+          while_loop that stops once every lane is occluded.
         """
         zero = jnp.zeros_like(px)
         acc = [zero, zero, zero]
@@ -405,35 +412,89 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         sox = px + SHADOW_BIAS * nx
         soy = py + SHADOW_BIAS * ny
         soz = pz + SHADOW_BIAS * nz
+
+        # Per-quadric-object precompute shared by every light's shadow ray:
+        # F(so) and grad F(so). (F(so + t d) = t^2 Q(d) + t gF(so).d + F(so)
+        # exactly, for any quadric.)
+        quad_pre = []
+        for i in range(n_cubic, n_objects):
+            coef = _read_coef_row(coefs_ref, i)
+            f0, _, g0 = _eval_F_and_grad(coef, sox, soy, soz,
+                                         m_start=QUAD_START, need_mag=False)
+            quad_pre.append((coef, f0, g0))
+
+        def quad_occ_one(coef, f0, g0, sd, max_t):
+            """Occluded-by-this-quadric boolean, reference root selection
+            (surface_impl.h:138-153) via the cancellation-stable quadratic
+            formula (no Newton needed for a boolean)."""
+            sdx, sdy, sdz = sd
+            t2 = (coef[10] * (sdx * sdx) + coef[11] * (sdy * sdy)
+                  + coef[12] * (sdz * sdz) + coef[13] * (sdx * sdy)
+                  + coef[14] * (sdx * sdz) + coef[15] * (sdy * sdz))
+            t1 = g0[0] * sdx + g0[1] * sdy + g0[2] * sdz
+            t0 = f0
+            disc = t1 * t1 - 4.0 * t2 * t0
+            s = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sgn = jnp.where(t1 >= 0, 1.0, -1.0)
+            qq = -0.5 * (t1 + sgn * s)
+            is_quad = jnp.abs(t2) > EPS
+            r_q = qq / jnp.where(is_quad, t2, 1.0)
+            qq_ok = jnp.abs(qq) > 0
+            r_c = jnp.where(qq_ok, t0 / jnp.where(qq_ok, qq, 1.0), -1.0)
+            # map the stable pair back to the reference's (-t1 -/+ s)/(2 t2)
+            lo = jnp.where(t1 >= 0, r_q, r_c)
+            hi = jnp.where(t1 >= 0, r_c, r_q)
+            sel = jnp.where(lo >= EPS, lo, hi)
+            quad_hit = (disc >= 0) & (sel > EPS) & (sel < max_t)
+            is_lin = jnp.abs(t1) > EPS
+            t_lin = -t0 / jnp.where(is_lin, t1, 1.0)
+            lin_hit = is_lin & (t_lin > EPS) & (t_lin < max_t)
+            return jnp.where(is_quad, quad_hit, lin_hit).astype(jnp.float32)
+
         for li in range(n_lights):
-            is_sph = lights_ref[li, 0]
+            kind = None if light_kinds is None else bool(light_kinds[li])
             lpx, lpy, lpz = lights_ref[li, 1], lights_ref[li, 2], lights_ref[li, 3]
             lcr, lcg, lcb = lights_ref[li, 4], lights_ref[li, 5], lights_ref[li, 6]
-            sph = is_sph > 0.5
             # shadow ray: unnormalized to-light (spherical, max_t 1) or the
             # stored unit direction (directional, max_t MAX_T); passed
             # through f32 as in the reference (light_impl.h:17)
-            tox, toy, toz = lpx - px, lpy - py, lpz - pz
-            sdx = jnp.where(sph, tox, lpx)
-            sdy = jnp.where(sph, toy, lpy)
-            sdz = jnp.where(sph, toz, lpz)
-            max_t = jnp.where(sph, 1.0, MAX_T)
-
-            dist2 = tox * tox + toy * toy + toz * toz
-            dn = jnp.sqrt(dist2)
-            inv_dn = 1.0 / jnp.where(dn > 0, dn, 1.0)
-            ldx = jnp.where(sph, tox * inv_dn, lpx)
-            ldy = jnp.where(sph, toy * inv_dn, lpy)
-            ldz = jnp.where(sph, toz * inv_dn, lpz)
-            falloff = 1.0 / (four_pi * dist2)
+            if kind is None:
+                # light kind unknown at trace time: generic masked form
+                is_sph = lights_ref[li, 0]
+                sph = is_sph > 0.5
+                tox, toy, toz = lpx - px, lpy - py, lpz - pz
+                sd = (jnp.where(sph, tox, lpx), jnp.where(sph, toy, lpy),
+                      jnp.where(sph, toz, lpz))
+                max_t = jnp.where(sph, 1.0, MAX_T)
+                dist2 = tox * tox + toy * toy + toz * toz
+                dn = jnp.sqrt(dist2)
+                inv_dn = 1.0 / jnp.where(dn > 0, dn, 1.0)
+                ldx = jnp.where(sph, tox * inv_dn, lpx)
+                ldy = jnp.where(sph, toy * inv_dn, lpy)
+                ldz = jnp.where(sph, toz * inv_dn, lpz)
+                cscale = jnp.where(sph, 1.0 / (four_pi * dist2), 1.0)
+            elif kind:  # spherical
+                tox, toy, toz = lpx - px, lpy - py, lpz - pz
+                sd = (tox, toy, toz)
+                max_t = 1.0
+                dist2 = tox * tox + toy * toy + toz * toz
+                inv_dn = jax.lax.rsqrt(jnp.where(dist2 > 0, dist2, 1.0))
+                ldx, ldy, ldz = tox * inv_dn, toy * inv_dn, toz * inv_dn
+                cscale = 1.0 / (four_pi * dist2)
+            else:  # directional: everything about the light is scalar
+                sd = (lpx, lpy, lpz)
+                max_t = MAX_T
+                ldx, ldy, ldz = lpx, lpy, lpz
+                cscale = 1.0
             lam = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
 
             # Carry the occlusion mask as f32 (0/1): Mosaic cannot carry
             # vector<i1> through scf loops.
-            def make_occ_sweep(solver):
+            def make_occ_sweep(solver, sd=sd, max_t=max_t):
                 def step(i, occ):
                     coef = _read_coef_row(coefs_ref, i)
-                    t = solver(coef, sox, soy, soz, sdx, sdy, sdz, shadow_iters)
+                    t = solver(coef, sox, soy, soz, sd[0], sd[1], sd[2],
+                               shadow_iters)
                     hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
                     return jnp.maximum(occ, hit_f)
 
@@ -457,12 +518,12 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
                 return sweep
 
-            def run_occlusion(_):
+            def run_occlusion(_, sd=sd, max_t=max_t):
                 occ = jnp.zeros_like(px)
                 if n_cubic > 0:
-                    occ = make_occ_sweep(_solve_object)(0, n_cubic, occ)
-                if n_cubic < n_objects:
-                    occ = make_occ_sweep(_solve_quadric)(n_cubic, n_objects, occ)
+                    occ = make_occ_sweep(_solve_object, sd, max_t)(0, n_cubic, occ)
+                for coef, f0, g0 in quad_pre:
+                    occ = jnp.maximum(occ, quad_occ_one(coef, f0, g0, sd, max_t))
                 return occ
 
             if use_skips:
@@ -476,7 +537,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             occ_bits = occ_bits | (occluded_f.astype(jnp.int32) * (1 << li))
 
             w = jnp.where(occluded, 0.0, lam * inv_pi)
-            scale = jnp.where(sph, falloff, 1.0) * w
+            scale = cscale * w
             acc[0] = acc[0] + obj_col[0] * lcr * scale
             acc[1] = acc[1] + obj_col[1] * lcg * scale
             acc[2] = acc[2] + obj_col[2] * lcb * scale
@@ -764,22 +825,33 @@ def _partition_for(coefs):
     return value
 
 
+def _light_kinds_of(light_is_spherical) -> tuple | None:
+    """Static per-light kind tuple (True = spherical) from a CONCRETE
+    is-spherical table; None under tracing (the kernels then fall back to
+    the generic masked light path)."""
+    if isinstance(light_is_spherical, jax.core.Tracer):
+        return None
+    return tuple(bool(x) for x in np.asarray(light_is_spherical))
+
+
 def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
                        polish_iters: int, bounces: int,
                        shadow_iters: int | None = None):
     """Non-jitted wrapper: degree-partitions the object table host-side
     (cubics first), then dispatches the jitted kernel with the permutation
-    as STATIC data (compiled in — the scene arrays pass through unchanged,
-    so per-frame calls hit the jit cache with zero extra transfers). Under
-    tracing (e.g. inside an outer jit/grad where coefficients are abstract)
-    the partition is unavailable and every object takes the cubic solve."""
+    and per-light kinds as STATIC data (compiled in — the scene arrays pass
+    through unchanged, so per-frame calls hit the jit cache with zero extra
+    transfers). Under tracing (e.g. inside an outer jit/grad where
+    coefficients are abstract) the partition is unavailable and every
+    object takes the cubic solve."""
     if isinstance(scene.coefs, jax.core.Tracer) or scene.n_objects == 0:
         perm = tuple(range(scene.n_objects))
         n_cubic = scene.n_objects
     else:
         perm, n_cubic = _partition_for(scene.coefs)
+    kinds = _light_kinds_of(scene.light_is_spherical)
     return _render_pallas_jit(scene, camera, polish_iters, bounces,
-                              n_cubic, perm, shadow_iters)
+                              n_cubic, perm, shadow_iters, kinds)
 
 
 def _grid_geometry(width: int, rows_out: int):
@@ -794,7 +866,8 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
                   n_objects: int, n_lights: int, width: int, height: int,
                   polish_iters: int, bounces: int, n_cubic: int,
                   save_aux: bool, shadow_iters: int | None = None,
-                  rows_out: int | None = None):
+                  rows_out: int | None = None,
+                  light_kinds: tuple | None = None):
     """Launch the forward kernel on packed tables -> [rows_out, W, 3] image
     (+ per-pixel (t, slot, occ-bitmask) aux when save_aux). ``height`` is the
     GLOBAL image height (sets the ndc scale); ``rows_out`` (default: height)
@@ -806,6 +879,7 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
     kernel = _make_kernel(
         n_objects, n_lights, width, height, polish_iters, bounces,
         n_cubic=n_cubic, save_aux=save_aux, shadow_iters=shadow_iters,
+        light_kinds=light_kinds,
     )
     out_shapes = [jax.ShapeDtypeStruct((3, rows_padded, TILE_LANES), jnp.float32)]
     out_specs = [pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
@@ -847,10 +921,11 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
 
 @partial(jax.jit,
          static_argnames=("polish_iters", "bounces", "n_cubic", "perm",
-                          "shadow_iters"))
+                          "shadow_iters", "light_kinds"))
 def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
                        polish_iters: int, bounces: int, n_cubic: int,
-                       perm: tuple, shadow_iters: int | None = None):
+                       perm: tuple, shadow_iters: int | None = None,
+                       light_kinds: tuple | None = None):
     scene32 = scene.astype(jnp.float32)
     camera32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), camera)
     # Apply the static cubics-first permutation inside jit: XLA constant-
@@ -873,14 +948,14 @@ def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
         return _packed_render(
             coefs, colors, refl, lights, cam,
             scene.width, scene.height, polish_iters, bounces, n_cubic, perm,
-            shadow_iters,
+            shadow_iters, None, light_kinds,
         )
     return _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
         n_objects=scene.n_objects, n_lights=scene.n_lights,
         width=scene.width, height=scene.height,
         polish_iters=polish_iters, bounces=bounces, n_cubic=n_cubic,
-        save_aux=False, shadow_iters=shadow_iters,
+        save_aux=False, shadow_iters=shadow_iters, light_kinds=light_kinds,
     )
 
 
@@ -968,7 +1043,7 @@ def _acc_layout(n_objects: int, n_lights: int):
 
 
 def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
-                     bounces: int = 0):
+                     bounces: int = 0, light_kinds: tuple | None = None):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
     row_cam, row_coefs, row_colors, row_lights, row_refl, total_rows = (
@@ -1032,20 +1107,41 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
         def light_terms(li, st):
             """Recompute the forward shading quantities for light li at a
-            chain stage's (point, normal, occlusion bits)."""
+            chain stage's (point, normal, occlusion bits). Specialized on
+            the static light kind when known (matching the forward kernel's
+            ``shade``): directional lights carry scalar direction/color and
+            no falloff chain."""
             p, n, occ = st["p"], st["n"], st["occ"]
-            is_sph = lights_ref[li, 0]
-            sph = is_sph > 0.5
+            kind = None if light_kinds is None else bool(light_kinds[li])
             lp = [lights_ref[li, 1], lights_ref[li, 2], lights_ref[li, 3]]
             lc = [lights_ref[li, 4], lights_ref[li, 5], lights_ref[li, 6]]
-            to = [lp[k] - p[k] for k in range(3)]
-            dist2 = to[0] * to[0] + to[1] * to[1] + to[2] * to[2]
-            dn = jnp.sqrt(dist2)
-            inv_dn = 1.0 / jnp.where(dn > 0, dn, 1.0)
-            unit = [to[k] * inv_dn for k in range(3)]
-            ld = [jnp.where(sph, unit[k], lp[k]) for k in range(3)]
-            colr = [jnp.where(sph, lc[k] / (four_pi * dist2), lc[k])
-                    for k in range(3)]
+            if kind is None:
+                is_sph = lights_ref[li, 0]
+                sph = is_sph > 0.5
+                to = [lp[k] - p[k] for k in range(3)]
+                dist2 = to[0] * to[0] + to[1] * to[1] + to[2] * to[2]
+                dn = jnp.sqrt(dist2)
+                inv_dn = 1.0 / jnp.where(dn > 0, dn, 1.0)
+                unit = [to[k] * inv_dn for k in range(3)]
+                ld = [jnp.where(sph, unit[k], lp[k]) for k in range(3)]
+                colr = [jnp.where(sph, lc[k] / (four_pi * dist2), lc[k])
+                        for k in range(3)]
+            elif kind:  # spherical
+                sph = True
+                to = [lp[k] - p[k] for k in range(3)]
+                dist2 = to[0] * to[0] + to[1] * to[1] + to[2] * to[2]
+                inv_dn = jax.lax.rsqrt(jnp.where(dist2 > 0, dist2, 1.0))
+                unit = [to[k] * inv_dn for k in range(3)]
+                ld = unit
+                colr = [lc[k] / (four_pi * dist2) for k in range(3)]
+            else:  # directional: scalar direction and color, no falloff
+                sph = False
+                to = None
+                dist2 = None
+                inv_dn = None
+                unit = None
+                ld = lp
+                colr = lc
             ndotl = n[0] * ld[0] + n[1] * ld[1] + n[2] * ld[2]
             lam = jnp.maximum(0.0, ndotl)
             occ_l = jnp.bitwise_and(
@@ -1133,29 +1229,46 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
                 u_lam = [dlit[c] * notocc for c in range(3)]
                 dlam = zero
                 ddist2 = zero
+                static_kind = isinstance(sph, bool)
                 for c in range(3):
                     # contrib_c = objc_c * inv_pi * colr_c * lam
                     dobjc[c] = dobjc[c] + u_lam[c] * inv_pi * colr[c] * lam
                     dcol_c = u_lam[c] * objc[c] * inv_pi * lam
                     dlam = dlam + u_lam[c] * objc[c] * inv_pi * colr[c]
-                    # colr_c = where(sph, lc_c / (4 pi dist2), lc_c)
-                    add(row_lights + li * 7 + 4 + c,
-                        jnp.where(sph, dcol_c / (four_pi * dist2), dcol_c))
-                    ddist2 = ddist2 - jnp.where(
-                        sph, dcol_c * colr[c] / dist2, 0.0
-                    )
+                    # colr_c = lc_c / (4 pi dist2) (spherical) | lc_c (dir.)
+                    if static_kind:
+                        if sph:
+                            add(row_lights + li * 7 + 4 + c,
+                                dcol_c / (four_pi * dist2))
+                            ddist2 = ddist2 - dcol_c * colr[c] / dist2
+                        else:
+                            add(row_lights + li * 7 + 4 + c, dcol_c)
+                    else:
+                        add(row_lights + li * 7 + 4 + c,
+                            jnp.where(sph, dcol_c / (four_pi * dist2), dcol_c))
+                        ddist2 = ddist2 - jnp.where(
+                            sph, dcol_c * colr[c] / dist2, 0.0
+                        )
                 dndotl = dlam * (ndotl > 0).astype(jnp.float32)
                 dld = [dndotl * n[k] for k in range(3)]
                 for k in range(3):
                     dn_acc[k] = dn_acc[k] + dndotl * ld[k]
-                # ld = where(sph, to/|to|, lp); dist2 = |to|^2 (spherical)
+                if static_kind and not sph:
+                    # directional: ld = lp directly; point untouched
+                    for k in range(3):
+                        add(row_lights + li * 7 + 1 + k, dld[k])
+                    continue
+                # ld = to/|to|; dist2 = |to|^2 (spherical)
                 udot = unit[0] * dld[0] + unit[1] * dld[1] + unit[2] * dld[2]
                 for k in range(3):
                     dto_k = ((dld[k] - unit[k] * udot) * inv_dn
                              + 2.0 * to[k] * ddist2)
-                    dto_k = jnp.where(sph, dto_k, 0.0)
-                    add(row_lights + li * 7 + 1 + k,
-                        jnp.where(sph, dto_k, dld[k]))
+                    if static_kind:
+                        add(row_lights + li * 7 + 1 + k, dto_k)
+                    else:
+                        dto_k = jnp.where(sph, dto_k, 0.0)
+                        add(row_lights + li * 7 + 1 + k,
+                            jnp.where(sph, dto_k, dld[k]))
                     dpoint[k] = dpoint[k] - dto_k
             return dn_acc, dpoint, dobjc
 
@@ -1314,7 +1427,8 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
 def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
                   n_objects: int, n_lights: int, width: int, height: int,
-                  bounces: int = 0, rows_out: int | None = None):
+                  bounces: int = 0, rows_out: int | None = None,
+                  light_kinds: tuple | None = None):
     """Launch the backward kernel -> gradient accumulator [rows, 128].
     ``aux`` is the flat per-stage (t, slot, occ) tuple the forward saved —
     3 * (bounces + 1) arrays."""
@@ -1322,7 +1436,8 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
         rows_out = height
     _, n_tiles, _ = _grid_geometry(width, rows_out)
     kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height,
-                                          bounces=bounces)
+                                          bounces=bounces,
+                                          light_kinds=light_kinds)
     tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
@@ -1345,11 +1460,12 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
     return acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
                    polish_iters: int, bounces: int, n_cubic: int, perm: tuple,
                    shadow_iters: int | None = None,
-                   rows_out: int | None = None):
+                   rows_out: int | None = None,
+                   light_kinds: tuple | None = None):
     """Forward render on packed (permuted) tables.
 
     custom_vjp pair: forward saves per-pixel (t, slot, occlusion bits) per
@@ -1365,12 +1481,13 @@ def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
         width=width, height=height, polish_iters=polish_iters,
         bounces=bounces, n_cubic=n_cubic, save_aux=False,
         shadow_iters=shadow_iters, rows_out=rows_out,
+        light_kinds=light_kinds,
     )
 
 
 def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
                 polish_iters, bounces, n_cubic, perm, shadow_iters=None,
-                rows_out=None):
+                rows_out=None, light_kinds=None):
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     image, aux = _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
@@ -1378,12 +1495,13 @@ def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
         width=width, height=height, polish_iters=polish_iters,
         bounces=bounces, n_cubic=n_cubic, save_aux=True,
         shadow_iters=shadow_iters, rows_out=rows_out,
+        light_kinds=light_kinds,
     )
     return image, (coefs, colors, refl, lights, cam, aux)
 
 
 def _packed_bwd(width, height, polish_iters, bounces, n_cubic, perm,
-                shadow_iters, rows_out, res, g):
+                shadow_iters, rows_out, light_kinds, res, g):
     coefs, colors, refl, lights, cam, aux = res
     n_objects = len(perm)
     n_lights = lights.shape[0]
@@ -1402,7 +1520,7 @@ def _packed_bwd(width, height, polish_iters, bounces, n_cubic, perm,
     acc = _dispatch_bwd(
         coefs, colors, refl, lights, cam, g_tiles, aux,
         n_objects=n_objects, n_lights=n_lights, width=width, height=height,
-        bounces=bounces, rows_out=rows_out,
+        bounces=bounces, rows_out=rows_out, light_kinds=light_kinds,
     )
     vec = jnp.sum(acc, axis=1)  # lane reduction
     row_cam, row_coefs, row_colors, row_lights, row_refl, _total = _acc_layout(
@@ -1470,7 +1588,8 @@ _render_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
 def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
                        *, polish_iters: int = 3, bounces: int = 0,
                        n_cubic: int | None = None, perm: tuple | None = None,
-                       shadow_iters: int | None = None):
+                       shadow_iters: int | None = None,
+                       light_kinds: tuple | None = None):
     """Render image rows [row0, row0 + rows) with the fused kernel ->
     [rows, W, 3] f32 — the per-device body for row-sharded meshes.
 
@@ -1482,7 +1601,9 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
     OUTSIDE shard_map where coefficients are concrete via
     ``partition_for_scene``); None treats every object as cubic — required
     when coefficients are being optimized, since a gradient step can make a
-    statically-quadric object cubic.
+    statically-quadric object cubic. ``light_kinds`` is the static per-light
+    spherical mask (compute OUTSIDE shard_map via ``light_kinds_for_scene``);
+    None falls back to the generic masked light path.
 
     Differentiable for bounces == 0 (the fused analytic backward kernel runs
     per device; parameter-gradient psums are inserted by shard_map's AD).
@@ -1501,10 +1622,13 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
     lights = _pack_lights(scene32)
     cam = _pack_camera(scene32, camera32, row0=row0)
     si = None if shadow_iters is None else int(shadow_iters)
+    if light_kinds is None:
+        light_kinds = _light_kinds_of(scene.light_is_spherical)
     if scene.n_objects > 0 and scene.n_lights <= 31:
         return _packed_render(
             coefs, colors, refl, lights, cam, scene.width, scene.height,
             int(polish_iters), int(bounces), n_cubic, perm, si, int(rows),
+            light_kinds,
         )
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     return _dispatch_fwd(
@@ -1513,6 +1637,7 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
         width=scene.width, height=scene.height,
         polish_iters=int(polish_iters), bounces=int(bounces), n_cubic=n_cubic,
         save_aux=False, shadow_iters=si, rows_out=int(rows),
+        light_kinds=light_kinds,
     )
 
 
@@ -1525,6 +1650,18 @@ def partition_for_scene(scene: Scene):
             "outside jit/shard_map and pass the result in"
         )
     return _partition_for(scene.coefs)
+
+
+def light_kinds_for_scene(scene: Scene) -> tuple:
+    """Static per-light spherical mask for a CONCRETE scene — the light
+    analogue of ``partition_for_scene``. Raises under tracing."""
+    kinds = _light_kinds_of(scene.light_is_spherical)
+    if kinds is None:
+        raise TypeError(
+            "light_kinds_for_scene needs a concrete is-spherical table; "
+            "call it outside jit/shard_map and pass the result in"
+        )
+    return kinds
 
 
 def render_image_pallas(scene: Scene, camera: camera_ops.Camera | None = None,
