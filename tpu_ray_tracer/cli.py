@@ -174,6 +174,7 @@ def cmd_fit(args) -> int:
         config=config,
         param_fields=tuple(args.params.split(",")),
         learning_rate=args.lr,
+        soft_tau=args.soft_tau,
     )
     import jax
 
@@ -304,6 +305,10 @@ def main(argv=None) -> int:
     p.add_argument("--distributed", action="store_true",
                    help="multi-process job: initialize jax.distributed from "
                         "the environment and shard over every chip in the job")
+    p.add_argument("--soft-tau", type=float, default=None,
+                   help="soft-visibility temperature for surface-coefficient "
+                        "recovery across silhouette discontinuities "
+                        "(e.g. 0.15); default: hard render")
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("view", help="interactive terminal viewer (fly camera)")

@@ -64,6 +64,12 @@ class InverseProblem:
     backend: str = "xla"           # "pallas": fused fwd+bwd kernels per device
     #                                 (including reflective scenes; > 31-light
     #                                 scenes fall back to the XLA pipeline)
+    soft_tau: float | None = None  # soft-visibility temperature: render the
+    #                                 loss through diff/soft.py so descent can
+    #                                 cross root-selection discontinuities
+    #                                 (multi-sheet surface-coefficient
+    #                                 recovery); None = hard render. Forces
+    #                                 the XLA path; bounce-free scenes only.
 
     def optimizer(self):
         if self.grad_clip is not None:
@@ -75,7 +81,7 @@ class InverseProblem:
 
 
 def _device_render(scene: Scene, camera, rows_local: int, config: RenderConfig,
-                   bounces: int):
+                   bounces: int, soft_tau: float | None = None):
     """Per-device row-block render (shard_map body)."""
     idx = jax.lax.axis_index(AXIS)
     y0 = idx * rows_local
@@ -85,6 +91,11 @@ def _device_render(scene: Scene, camera, rows_local: int, config: RenderConfig,
         scene.tan_half_fov, y0=y0, rows=rows_local,
     )
     origin = jnp.broadcast_to(eye, dirs.shape)
+    if soft_tau is not None:
+        from .soft import render_rays_soft
+        return render_rays_soft(scene, origin, dirs,
+                                polish_iters=config.polish_iters,
+                                tau=soft_tau)
     return render_rays(scene, origin, dirs,
                        polish_iters=config.polish_iters, bounces=bounces)
 
@@ -106,10 +117,14 @@ def make_loss_fn(problem: InverseProblem, mesh):
     rows_local = height_padded // n_dev
     n_valid = template.height * template.width * 3
 
+    if problem.soft_tau is not None and bounces != 0:
+        raise ValueError("soft_tau requires a bounce-free configuration")
     # The fused Pallas fwd+bwd pair covers the reflection chain; only
     # > 31-light scenes (occlusion-bitmask width) and empty scenes must take
-    # the XLA pipeline, whose gradient is plain AD.
+    # the XLA pipeline, whose gradient is plain AD. The soft-visibility
+    # loss is an XLA-pipeline feature.
     use_pallas = (problem.backend == "pallas"
+                  and problem.soft_tau is None
                   and 0 < problem.scene_template.n_objects
                   and problem.scene_template.n_lights <= 31)
     if use_pallas:
@@ -140,7 +155,7 @@ def make_loss_fn(problem: InverseProblem, mesh):
             )
         else:
             colors = _device_render(scene, camera, rows_local, problem.config,
-                                    bounces)
+                                    bounces, problem.soft_tau)
         # mask padded rows out of the squared error
         row_ids = y0 + jnp.arange(rows_local)
         valid = (row_ids < scene.height)[:, None, None]

@@ -449,7 +449,12 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             is_lin = jnp.abs(t1) > EPS
             t_lin = -t0 / jnp.where(is_lin, t1, 1.0)
             lin_hit = is_lin & (t_lin > EPS) & (t_lin < max_t)
-            return jnp.where(is_quad, quad_hit, lin_hit).astype(jnp.float32)
+            # float blend instead of a boolean-vector select: is_quad can be
+            # a traced SCALAR (directional light -> scalar t2), and Mosaic
+            # cannot lower a scalar-predicate select over vector<i1>.
+            isq = is_quad.astype(jnp.float32)
+            return (isq * quad_hit.astype(jnp.float32)
+                    + (1.0 - isq) * lin_hit.astype(jnp.float32))
 
         for li in range(n_lights):
             kind = None if light_kinds is None else bool(light_kinds[li])
