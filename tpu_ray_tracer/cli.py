@@ -86,6 +86,16 @@ def cmd_render(args) -> int:
         print(f"Error during scene loading\n{exc}", file=sys.stderr)
         return 1
     image = _render(scene, args)
+    if getattr(args, "check", False):
+        # device-error surface (the checkCudaErrors analog): report
+        # non-finite pixels with indices and exit nonzero
+        from .utils.guard import RenderCheckError, check_image
+
+        try:
+            check_image(image, context=args.scene)
+        except RenderCheckError as exc:
+            print(f"Render check failed\n{exc}", file=sys.stderr)
+            return 1
     out = args.output or "render.png"
     if out.endswith(".npy"):
         write_npy(out, image)
@@ -282,6 +292,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("render", help="render one frame to an image file")
     _add_common(p)
     p.add_argument("-o", "--output", default=None, help="output file (.png/.npy)")
+    p.add_argument("--check", action="store_true",
+                   help="fail with pixel indices if the render produces "
+                        "non-finite values (device-error surface)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="benchmark frame time / Mrays/s")
