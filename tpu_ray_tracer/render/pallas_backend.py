@@ -134,14 +134,18 @@ def _ray_coeffs_scalar(coef, o_pows, d_pows, one, m_start=0, k_max=3):
 
 
 def _eval_F_and_grad(coef, px, py, pz, m_start=0, need_mag=True,
-                     need_grad=True):
+                     need_grad=True, cache=None):
     """F(p), |terms|(p), dF(p) for scalar coefficients at (8,128) points.
 
     ``need_mag``/``need_grad`` statically trim the term magnitude sum
     (only the residual-rejection test reads it) and the gradient (only
     Newton steps and the surface normal read it) — the Newton loop is the
-    kernel's hot inner loop, so the unused outputs are real VPU work."""
-    p = _powers3(px, py, pz, max_pow=3 if m_start == 0 else 2)
+    kernel's hot inner loop, so the unused outputs are real VPU work.
+    ``cache`` shares a precomputed ``_powers3(px, py, pz)`` across objects
+    evaluated at the same point."""
+    p = cache if cache is not None else _powers3(
+        px, py, pz, max_pow=3 if m_start == 0 else 2
+    )
     one = jnp.ones_like(px)
     f = None
     mag = None
@@ -167,6 +171,37 @@ def _eval_F_and_grad(coef, px, py, pz, m_start=0, need_mag=True,
             g[axis] = dterm if g[axis] is None else g[axis] + dterm
     zero = jnp.zeros_like(px)
     return f, mag, [gi if gi is not None else zero for gi in g]
+
+
+def _hessian_entries(coef, cache, one):
+    """Upper-triangle Hessian of F at the cached point: [Hxx, Hyy, Hzz,
+    Hxy, Hxz, Hyz]. For degree <= 3 polynomials the entries are at most
+    linear in the point, so this is a handful of scalar-coefficient FMAs —
+    precomputed once per (object, point) and reused across every shadow
+    direction via t2 = (1/2) d^T H d."""
+    pairs = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+    out = []
+    for a, b in pairs:
+        acc = None
+        for m, pows in enumerate(MONOMIAL_POWERS):
+            p2 = list(pows)
+            if a == b:
+                ea = pows[a]
+                if ea < 2:
+                    continue
+                fac = float(ea * (ea - 1))
+                p2[a] = ea - 2
+            else:
+                ea, eb = pows[a], pows[b]
+                if ea == 0 or eb == 0:
+                    continue
+                fac = float(ea * eb)
+                p2[a] = ea - 1
+                p2[b] = eb - 1
+            term = coef[m] * (_prod(cache, tuple(p2), one) * fac)
+            acc = term if acc is None else acc + term
+        out.append(acc if acc is not None else jnp.zeros_like(one))
+    return out
 
 
 def _polish(coef, ox, oy, oz, dx, dy, dz, t, iters, m_start=0, reject=True):
@@ -319,13 +354,10 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         shadow_iters = (polish_iters if _SHADOW_POLISH_ITERS is None
                         else min(_SHADOW_POLISH_ITERS, polish_iters))
     shadow_iters = max(1, min(shadow_iters, polish_iters))
-    # Tile-uniform work skips (A/B-able via TRT_TILE_SKIPS=0). The
-    # fully-occluded early exit switches the occlusion sweep from fori_loop
-    # to while_loop, whose dynamic trip count costs Mosaic scheduling
-    # slack — measured a 15% LOSS on 3-object dingdong — so it is enabled
-    # only where the expected saving is large (many objects to skip).
+    # Tile-uniform work skips (A/B-able via TRT_TILE_SKIPS=0): the sky-tile
+    # shading skip, the per-light lam<=0 occlusion skip, and the
+    # reflection-chain exhaustion skip.
     use_skips = os.environ.get("TRT_TILE_SKIPS", "1") == "1"
-    occ_early_exit = use_skips and n_objects > 6
 
     def nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz):
         """Best valid hit over all objects (reference update-cuda.cu:65-77).
@@ -413,26 +445,31 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         soy = py + SHADOW_BIAS * ny
         soz = pz + SHADOW_BIAS * nz
 
-        # Per-quadric-object precompute shared by every light's shadow ray:
-        # F(so) and grad F(so). (F(so + t d) = t^2 Q(d) + t gF(so).d + F(so)
-        # exactly, for any quadric.)
+        # Per-object precompute shared by every light's shadow ray: the
+        # Taylor coefficients of F(so + t d) around the COMMON origin so —
+        # t0 = F(so), t1 = gF(so).d, t2 = (1/2) d^T H(so) d (+ t3 = C(d),
+        # the pure cubic form, for cubic objects). Exact for degree <= 3;
+        # only the d-dependent contractions remain per light.
+        one = jnp.ones_like(px)
+        so_cache = _powers3(sox, soy, soz, max_pow=3 if n_cubic > 0 else 2)
         quad_pre = []
         for i in range(n_cubic, n_objects):
             coef = _read_coef_row(coefs_ref, i)
             f0, _, g0 = _eval_F_and_grad(coef, sox, soy, soz,
-                                         m_start=QUAD_START, need_mag=False)
+                                         m_start=QUAD_START, need_mag=False,
+                                         cache=so_cache)
             quad_pre.append((coef, f0, g0))
+        cubic_pre = []
+        for i in range(n_cubic):
+            coef = _read_coef_row(coefs_ref, i)
+            f0, _, g0 = _eval_F_and_grad(coef, sox, soy, soz, need_mag=False,
+                                         cache=so_cache)
+            h6 = _hessian_entries(coef, so_cache, one)
+            cubic_pre.append((coef, f0, g0, h6))
 
-        def quad_occ_one(coef, f0, g0, sd, max_t):
-            """Occluded-by-this-quadric boolean, reference root selection
-            (surface_impl.h:138-153) via the cancellation-stable quadratic
-            formula (no Newton needed for a boolean)."""
-            sdx, sdy, sdz = sd
-            t2 = (coef[10] * (sdx * sdx) + coef[11] * (sdy * sdy)
-                  + coef[12] * (sdz * sdz) + coef[13] * (sdx * sdy)
-                  + coef[14] * (sdx * sdz) + coef[15] * (sdy * sdz))
-            t1 = g0[0] * sdx + g0[1] * sdy + g0[2] * sdz
-            t0 = f0
+        def _stable_quad_roots(t2, t1, t0):
+            """Cancellation-stable quadratic roots mapped to the reference's
+            (lo, hi) = (-t1 -/+ sqrt(disc))/(2 t2) ordering."""
             disc = t1 * t1 - 4.0 * t2 * t0
             s = jnp.sqrt(jnp.maximum(disc, 0.0))
             sgn = jnp.where(t1 >= 0, 1.0, -1.0)
@@ -441,9 +478,14 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             r_q = qq / jnp.where(is_quad, t2, 1.0)
             qq_ok = jnp.abs(qq) > 0
             r_c = jnp.where(qq_ok, t0 / jnp.where(qq_ok, qq, 1.0), -1.0)
-            # map the stable pair back to the reference's (-t1 -/+ s)/(2 t2)
             lo = jnp.where(t1 >= 0, r_q, r_c)
             hi = jnp.where(t1 >= 0, r_c, r_q)
+            return is_quad, disc, lo, hi
+
+        def quadlin_occ_coeffs(t2, t1, t0, max_t):
+            """Occlusion boolean (as f32) for a degree <= 2 t-polynomial,
+            reference root-selection semantics (surface_impl.h:138-153)."""
+            is_quad, disc, lo, hi = _stable_quad_roots(t2, t1, t0)
             sel = jnp.where(lo >= EPS, lo, hi)
             quad_hit = (disc >= 0) & (sel > EPS) & (sel < max_t)
             is_lin = jnp.abs(t1) > EPS
@@ -455,6 +497,101 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             isq = is_quad.astype(jnp.float32)
             return (isq * quad_hit.astype(jnp.float32)
                     + (1.0 - isq) * lin_hit.astype(jnp.float32))
+
+        def quad_occ_one(coef, f0, g0, sd, max_t):
+            """Occluded-by-this-quadric boolean: Taylor assembly (t2 = Q(d),
+            t1 = gF(so).d, t0 = F(so)) + the stable closed-form test (no
+            Newton needed for a boolean)."""
+            sdx, sdy, sdz = sd
+            t2 = (coef[10] * (sdx * sdx) + coef[11] * (sdy * sdy)
+                  + coef[12] * (sdz * sdz) + coef[13] * (sdx * sdy)
+                  + coef[14] * (sdx * sdz) + coef[15] * (sdy * sdz))
+            t1 = g0[0] * sdx + g0[1] * sdy + g0[2] * sdz
+            return quadlin_occ_coeffs(t2, t1, f0, max_t)
+
+        def cubic_occ_one(coef, f0, g0, h6, sd, sd_cub, max_t):
+            """Occluded-by-this-cubic boolean. Taylor assembly around the
+            shared shadow origin (t3 = C(d) from the per-light cubic-form
+            basis, t2 = (1/2) d^T H(so) d, t1 = gF(so).d, t0 = F(so)), then
+            the analytic cubic candidates polished by 1-D Newton on the
+            ASSEMBLED polynomial with a 1-D residual genuineness test —
+            candidate-for-candidate the same structure as ``_solve_object``
+            but ~6x cheaper: an occlusion boolean needs any genuine root in
+            (EPS, max_t), not a shading-accurate value, so Newton against
+            the direct 20-monomial evaluation is overkill here."""
+            sdx, sdy, sdz = sd
+            t3 = None
+            for m in range(QUAD_START):
+                term = coef[m] * sd_cub[m]
+                t3 = term if t3 is None else t3 + term
+            t2 = (0.5 * (h6[0] * (sdx * sdx) + h6[1] * (sdy * sdy)
+                         + h6[2] * (sdz * sdz))
+                  + h6[3] * (sdx * sdy) + h6[4] * (sdx * sdz)
+                  + h6[5] * (sdy * sdz))
+            t1 = g0[0] * sdx + g0[1] * sdy + g0[2] * sdz
+            t0 = f0
+
+            def feval(t):
+                return ((t3 * t + t2) * t + t1) * t + t0
+
+            def dfeval(t):
+                return (3.0 * t3 * t + 2.0 * t2) * t + t1
+
+            def polish1d(t):
+                for _ in range(shadow_iters):
+                    df = dfeval(t)
+                    ok = jnp.abs(df) > 1e-12
+                    step = jnp.where(ok, feval(t) / jnp.where(ok, df, 1.0), 0.0)
+                    t_new = t - step
+                    t = jnp.where(jnp.isfinite(t_new), t_new, t)
+                return t
+
+            def genuine_in_range(t):
+                at = jnp.abs(t)
+                mag = (jnp.abs(t3) * at * at * at + jnp.abs(t2) * at * at
+                       + jnp.abs(t1) * at + jnp.abs(t0) + 1e-30)
+                return ((jnp.abs(feval(t)) <= _RESIDUAL_TOL * mag)
+                        & (t > EPS) & (t < max_t))
+
+            is_cubic = jnp.abs(t3) > EPS
+            s3 = jnp.where(is_cubic, t3, 1.0)
+            a = t2 / s3
+            b = t1 / s3
+            c = t0 / s3
+            s = jnp.maximum(
+                jnp.maximum(jnp.abs(a), jnp.sqrt(jnp.abs(b))),
+                jnp.maximum(_cbrt(jnp.abs(c)), 1e-30),
+            )
+            a = a / s
+            b = b / (s * s)
+            c = c / (s * s * s)
+            q = (3.0 * b - a * a) / 9.0
+            r = (9.0 * a * b - 27.0 * c - 2.0 * a * a * a) / 54.0
+            delta = q * q * q + r * r
+            sq_delta = jnp.sqrt(jnp.maximum(delta, 0.0))
+            q_neg = jnp.maximum(-q, 0.0)
+            denom = jnp.sqrt(q_neg * q_neg * q_neg)
+            ratio = jnp.clip(r / jnp.where(denom == 0, 1.0, denom), -1.0, 1.0)
+            theta = _acos(ratio) / 3.0
+            two_sq = 2.0 * jnp.sqrt(q_neg)
+            a3 = a / 3.0
+            cardano = _cbrt(r + sq_delta) + _cbrt(r - sq_delta)
+            cands = [
+                s * (jnp.where(delta > 0, cardano, two_sq * jnp.cos(theta)) - a3),
+                s * (two_sq * jnp.cos(theta + TWO_THIRD_PI) - a3),
+                s * (two_sq * jnp.cos(theta + 2.0 * TWO_THIRD_PI) - a3),
+            ]
+            # dominant-balance quadratic candidates (near-degenerate |t3|);
+            # non-roots are finite garbage the residual test rejects
+            _isq, _disc, qlo, qhi = _stable_quad_roots(t2, t1, t0)
+            cands += [qlo, qhi]
+            occ_c = None
+            for cand in cands:
+                hit = genuine_in_range(polish1d(cand)).astype(jnp.float32)
+                occ_c = hit if occ_c is None else jnp.maximum(occ_c, hit)
+            quadlin = quadlin_occ_coeffs(t2, t1, t0, max_t)
+            isc = is_cubic.astype(jnp.float32)
+            return isc * occ_c + (1.0 - isc) * quadlin
 
         for li in range(n_lights):
             kind = None if light_kinds is None else bool(light_kinds[li])
@@ -493,40 +630,20 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                 cscale = 1.0
             lam = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
 
-            # Carry the occlusion mask as f32 (0/1): Mosaic cannot carry
-            # vector<i1> through scf loops.
-            def make_occ_sweep(solver, sd=sd, max_t=max_t):
-                def step(i, occ):
-                    coef = _read_coef_row(coefs_ref, i)
-                    t = solver(coef, sox, soy, soz, sd[0], sd[1], sd[2],
-                               shadow_iters)
-                    hit_f = ((t > EPS) & (t < max_t)).astype(jnp.float32)
-                    return jnp.maximum(occ, hit_f)
-
-                def sweep(start, stop, occ):
-                    if not occ_early_exit:
-                        return jax.lax.fori_loop(start, stop, step, occ)
-
-                    # bounded while: stops once the tile is fully occluded
-                    # (extra occluders cannot change the boolean); the
-                    # (i < stop) bound keeps it finite.
-                    def cond_b(carry):
-                        return (carry[0] < stop) & (jnp.min(carry[1]) < 0.5)
-
-                    def body(carry):
-                        i, occ = carry
-                        return i + 1, step(i, occ)
-
-                    return jax.lax.while_loop(
-                        cond_b, body, (jnp.int32(start), occ)
-                    )[1]
-
-                return sweep
-
+            # occlusion as f32 (0/1) masks: Mosaic cannot carry vector<i1>
+            # through control flow. The per-object tests are cheap enough
+            # (Taylor assembly on shared precompute) to unroll outright.
             def run_occlusion(_, sd=sd, max_t=max_t):
                 occ = jnp.zeros_like(px)
-                if n_cubic > 0:
-                    occ = make_occ_sweep(_solve_object, sd, max_t)(0, n_cubic, occ)
+                if cubic_pre:
+                    sd_pows = _powers3(sd[0], sd[1], sd[2])
+                    sd_cub = [_prod(sd_pows, MONOMIAL_POWERS[m], one)
+                              for m in range(QUAD_START)]
+                    for coef, f0, g0, h6 in cubic_pre:
+                        occ = jnp.maximum(
+                            occ, cubic_occ_one(coef, f0, g0, h6, sd, sd_cub,
+                                               max_t)
+                        )
                 for coef, f0, g0 in quad_pre:
                     occ = jnp.maximum(occ, quad_occ_one(coef, f0, g0, sd, max_t))
                 return occ
