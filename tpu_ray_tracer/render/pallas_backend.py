@@ -365,8 +365,13 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         Objects are laid out cubics-first (host-side partition); slots
         >= n_cubic take the cheap quadric solve. The reference scans in
         original order with strict <, so ties are broken by the ORIGINAL
-        index (orig_ref), not the permuted slot."""
-        one = jnp.ones_like(ox)
+        index (orig_ref), not the permuted slot.
+
+        The origin components may be traced SCALARS (the primary trace: one
+        camera eye for the whole tile) — broadcasting then makes t0 = F(o)
+        and the origin-only expansion products scalar for free; the loop
+        carry is shaped from ``dx``, which is always tile-shaped."""
+        one = jnp.ones_like(dx)
 
         def make_body(solver):
             def body(i, carry):
@@ -723,9 +728,13 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         tz = cx * cam_ref[2] + cy * cam_ref[5] + cam_ref[8]
         inv_len = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz)
         dx, dy, dz = tx * inv_len, ty * inv_len, tz * inv_len
-        ox = jnp.full_like(dx, cam_ref[9])
-        oy = jnp.full_like(dx, cam_ref[10])
-        oz = jnp.full_like(dx, cam_ref[11])
+        # Scalar camera origin: every primary ray in the tile shares it, so
+        # keeping it 0-D makes t0 = F(eye) and the origin-side expansion
+        # products broadcast scalars through the whole solver (bounce-stage
+        # traces pass per-pixel origins through the same code).
+        ox = cam_ref[9]
+        oy = cam_ref[10]
+        oz = cam_ref[11]
 
         bg = (cam_ref[14], cam_ref[15], cam_ref[16])
 
