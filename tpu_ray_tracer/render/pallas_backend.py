@@ -1190,7 +1190,7 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
         @pl.when(pid == 0)
         def _init():
-            acc_ref[:, :] = jnp.zeros((acc_ref.shape[0], TILE_LANES), jnp.float32)
+            acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
         contrib = {}
 
@@ -1547,11 +1547,12 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
         add(row_cam + 12, gxf * dcx)             # aspect * tan_half_fov
         add(row_cam + 13, gyf * dcy)             # tan_half_fov
 
-        # --- flush: one sublane-reduced RMW per touched accumulator row ---
+        # --- flush: one full-vreg add per touched accumulator row ---
+        # (the accumulator keeps each row as a full (8, 128) tile; the
+        # sublane+lane reduction happens once outside the kernel, not as
+        # 100+ single-sublane RMWs per grid step)
         for r in sorted(contrib):
-            acc_ref[r:r + 1, :] = acc_ref[r:r + 1, :] + jnp.sum(
-                contrib[r], axis=0, keepdims=True
-            )
+            acc_ref[r] = acc_ref[r] + contrib[r]
 
     return kernel, total_rows
 
@@ -1583,9 +1584,11 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
             pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),  # cotangent
         ] + [tile_spec] * len(aux),                 # (t, slot, occ) per stage
-        out_specs=pl.BlockSpec((total_rows, TILE_LANES), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((total_rows, TILE_ROWS, TILE_LANES),
+                               lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total_rows, TILE_ROWS, TILE_LANES),
+                                       jnp.float32),
         interpret=_interpret_mode(),
     )(coefs, colors, refl, lights, cam, g_tiles, *aux)
     return acc
@@ -1653,7 +1656,7 @@ def _packed_bwd(width, height, polish_iters, bounces, n_cubic, perm,
         n_objects=n_objects, n_lights=n_lights, width=width, height=height,
         bounces=bounces, rows_out=rows_out, light_kinds=light_kinds,
     )
-    vec = jnp.sum(acc, axis=1)  # lane reduction
+    vec = jnp.sum(acc, axis=(1, 2))  # sublane + lane reduction
     row_cam, row_coefs, row_colors, row_lights, row_refl, _total = _acc_layout(
         n_objects, n_lights
     )
