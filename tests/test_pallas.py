@@ -84,12 +84,15 @@ def test_pallas_matches_xla_pipeline(jaxmod):
     assert float((err > 2.0 / 255.0).mean()) < 0.005
 
 
-def test_pallas_fused_backward_matches_xla(jaxmod):
+@pytest.mark.parametrize("scene_name", ["dingdong", "20spheres", "clebsch"])
+def test_pallas_fused_backward_matches_xla(jaxmod, scene_name):
     """The fused analytic backward kernel (bounces == 0) reproduces
     jax.grad of the XLA pipeline for every differentiable input: surface
     coefficients, object colors, light position/color, background, fov,
     and camera pose. dingdong exercises cubics + both light kinds + the
-    degree partition."""
+    degree partition; 20spheres the wide occlusion bitmask (19 lights) and
+    the all-quadric partition; clebsch the all-directional specialized
+    light path."""
     jax, jnp = jaxmod
     import dataclasses as dc
 
@@ -97,7 +100,7 @@ def test_pallas_fused_backward_matches_xla(jaxmod):
     from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
 
     scene = dc.replace(
-        trt.load_from_file(scene_path("dingdong")), width=32, height=16
+        trt.load_from_file(scene_path(scene_name)), width=32, height=16
     )
     scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
     cam = trt.Camera(
