@@ -3,12 +3,26 @@
 Renders scenes/dingdong.yml (1280x720, 3 objects, 2 lights — the scene the
 reference publishes ~25 ms / ~36.9 Mrays/s for its CUDA backend on,
 BASELINE.md) with the fused Pallas kernel on the available accelerator and
-prints ONE JSON line. ``vs_baseline`` is the ratio to the reference GPU's
-derived 36.9 Mrays/s. monkey_saddle (the reference's second published
-datapoint, 28.2 Mrays/s) and 20spheres (many lights x many objects) are
-measured as aux figures, as is forward+backward throughput (gradients
-w.r.t. surface coefficients and light colors through the fused analytic
-backward kernel).
+prints the headline JSON line. ``vs_baseline`` is the ratio to the reference
+GPU's derived 36.9 Mrays/s. monkey_saddle (the reference's second published
+datapoint, 28.2 Mrays/s), 20spheres (many lights x many objects), and the
+5-bounce reflection scene are measured as aux figures, as is
+forward+backward throughput (gradients w.r.t. surface coefficients and
+light colors through the fused analytic backward kernel).
+
+Incremental emission (round-3 restructure): the bench prints a complete
+cumulative JSON line after EVERY stage, headline scene first — if the
+driver's timeout lands mid-run, the tail still holds the latest complete
+result with the remaining stages listed under ``aux.pending``/``skipped``.
+A wall-clock budget (TRT_BENCH_BUDGET_S, default 1500 s) is checked between
+stages; stages that would not fit are skipped explicitly rather than dying
+silently. Progress heartbeats go to stderr so a timed-out run shows where
+it was.
+
+Cold-compile cost is minimized: each forward stage is ONE jitted function
+returning (per-frame sums, parity frame), and the full-resolution f64 NumPy
+parity goldens are precomputed in bench_goldens/*.npz (20spheres alone
+costs ~335 s of NumPy time; see tools/make_bench_goldens.py).
 
 Timing methodology (see .claude/skills/verify/SKILL.md): N frames with
 DISTINCT camera poses inside ONE jit via ``lax.map``, each frame reduced to
@@ -26,6 +40,7 @@ change that wins throughput by breaking parity turns the bench red.
 import json
 import os
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -48,24 +63,60 @@ PARITY_GATES = {
     "reflection_test": 0.006,
 }
 
-FWD_FRAMES = 32
+FWD_FRAMES = int(os.environ.get("TRT_BENCH_FRAMES", "32"))
 FWDBWD_FRAMES = 8
+BUDGET_S = float(os.environ.get("TRT_BENCH_BUDGET_S", "1500"))
+# Debug knob: scale scene resolutions down for fast structural runs
+# (disables the committed full-res goldens; never set by the driver).
+SCALE = float(os.environ.get("TRT_BENCH_SCALE", "1"))
+
+_T0 = time.perf_counter()
+_STAGE = ["startup"]
 
 
-def _bench_scene(name, scene, *, fwd_frames=FWD_FRAMES, measure_bwd=False,
-                 bounces=0):
-    """Measure one scene -> dict of numbers. Everything rides the fused
-    Pallas kernel (interpreter off-TPU would be meaninglessly slow, so
-    off-TPU this falls back to the XLA pipeline for a smoke number)."""
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _log(msg):
+    print(f"[bench t={_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _heartbeat():
+    while True:
+        time.sleep(60.0)
+        _log(f"heartbeat: stage={_STAGE[0]}")
+
+
+def _load_golden(name, scene):
+    """Committed f16 golden if present and matching, else live NumPy f64."""
+    from tpu_ray_tracer.render.reference_cpu import render_image_np
+    import numpy as np
+
+    path = os.path.join(REPO, "bench_goldens", name + ".npz")
+    if SCALE == 1 and os.path.exists(path):
+        golden = np.load(path)["image"].astype(np.float32)
+        if golden.shape == (scene.height, scene.width, 3):
+            return golden
+        _log(f"golden {name}: committed shape {golden.shape} stale, recomputing")
+    _log(f"golden {name}: computing live (NumPy f64)")
+    return render_image_np(scene)
+
+
+def _bench_fwd(name, scene, *, fwd_frames=FWD_FRAMES, bounces=0):
+    """Forward throughput + parity frame for one scene, ONE compiled
+    executable: lax.map over fwd_frames distinct poses (each reduced to a
+    scalar) plus the parity frame at the reference pose — fetched, so the
+    axon relay cannot elide the work. Everything rides the fused Pallas
+    kernel (off-TPU this falls back to the XLA pipeline for a smoke
+    number)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     import tpu_ray_tracer as trt
-    from tpu_ray_tracer.diff.inverse import apply_params, extract_params
     from tpu_ray_tracer.render.pallas_backend import _render_pallas_raw
     from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
-    from tpu_ray_tracer.render.reference_cpu import render_image_np
 
     n_px = scene.width * scene.height
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -86,115 +137,237 @@ def _bench_scene(name, scene, *, fwd_frames=FWD_FRAMES, measure_bwd=False,
     else:
         render = lambda s, c: _render_image_jit(s, c, config)
 
-    # parity gate input: one full frame at the reference pose
-    image = np.asarray(render(scene32, cam(90.0)))
-    golden = render_image_np(scene)
-    err = np.abs(image - golden).max(axis=-1)
-    bad_px_fraction = float((err > 2.0 / 255.0).mean())
-
-    # forward throughput: fwd_frames distinct poses inside ONE jit
     yaws = 90.0 + 1e-3 * jnp.arange(fwd_frames, dtype=jnp.float32)
 
     @jax.jit
     def fwd_many(yaws):
-        return jax.lax.map(lambda y: jnp.sum(render(scene32, cam(y))), yaws)
+        sums = jax.lax.map(lambda y: jnp.sum(render(scene32, cam(y))), yaws)
+        parity = render(scene32, cam(90.0))  # reference pose, same kernel
+        return sums, parity
 
-    np.asarray(fwd_many(yaws))  # compile + warm
+    _STAGE[0] = f"{name}:fwd compile"
+    _log(f"{name}: compiling fwd ({fwd_frames} frames + parity frame)")
+    sums, image = fwd_many(yaws)
+    image = np.asarray(image)  # fetch -> forces the warm run to execute
+    np.asarray(sums)
+    _STAGE[0] = f"{name}:fwd measure"
     t0 = time.perf_counter()
-    np.asarray(fwd_many(yaws))  # fetch forces real execution
-    fwd_s = (time.perf_counter() - t0) / fwd_frames
-    out = {
+    np.asarray(fwd_many(yaws)[0])  # fetch sums only; the executable runs whole
+    # the executable renders fwd_frames map frames + 1 parity frame
+    fwd_s = (time.perf_counter() - t0) / (fwd_frames + 1)
+    _log(f"{name}: fwd {fwd_s*1e3:.3f} ms/frame ({n_px/fwd_s/1e6:.1f} Mrays/s)")
+
+    _STAGE[0] = f"{name}:parity"
+    golden = _load_golden(name, scene)
+    err = np.abs(image - golden).max(axis=-1)
+    bad_px_fraction = float((err > 2.0 / 255.0).mean())
+    _log(f"{name}: parity bad-px fraction {bad_px_fraction:.6f}")
+
+    return {
         "frame_ms_fwd": fwd_s * 1e3,
         "mrays_fwd": n_px / fwd_s / 1e6,
         "parity_bad_px_fraction": bad_px_fraction,
     }
 
-    if measure_bwd:
-        template = scene32
-        params = extract_params(template)
 
-        def loss_fn(params, yaw):
-            s = apply_params(template, params)
-            img = render(s, cam(yaw))
-            return jnp.mean(img * img)
-
-        @jax.jit
-        def fwdbwd_many(params, yaws):
-            def one(y):
-                g = jax.grad(loss_fn)(params, y)
-                return sum(jnp.sum(v) for v in g.values())
-            return jax.lax.map(one, yaws)
-
-        yaws_b = yaws[:FWDBWD_FRAMES]
-        np.asarray(fwdbwd_many(params, yaws_b))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(fwdbwd_many(params, yaws_b))
-        fwdbwd_s = (time.perf_counter() - t0) / FWDBWD_FRAMES
-        out["frame_ms_fwd_bwd"] = fwdbwd_s * 1e3
-        out["mrays_fwd_bwd"] = n_px / fwdbwd_s / 1e6
-    return out
-
-
-def main():
+def _bench_fwdbwd(name, scene, *, bounces=0):
+    """Forward+backward throughput: per-frame grads of a scalar image loss
+    w.r.t. surface coefficients + light colors, through the fused analytic
+    backward kernel (or XLA recompute off-TPU)."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/trt_bench_cache")
+    import jax.numpy as jnp
+    import numpy as np
 
     import tpu_ray_tracer as trt
+    from tpu_ray_tracer.diff.inverse import apply_params, extract_params
+    from tpu_ray_tracer.render.pallas_backend import _render_pallas_raw
+    from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
 
-    scenes = {
-        name: trt.load_from_file(os.path.join(REPO, "scenes", name + ".yml"))
-        for name in ("dingdong", "monkey_saddle", "20spheres",
-                     "reflection_test")
+    n_px = scene.width * scene.height
+    on_tpu = jax.devices()[0].platform != "cpu"
+    scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
+    config = RenderConfig(geom_dtype="float32", polish_iters=3,
+                          bounces=bounces, chunk_px=None)
+
+    def cam(yaw):
+        return trt.Camera(
+            position=jnp.zeros(3, jnp.float32),
+            yaw_deg=jnp.asarray(yaw, jnp.float32),
+            pitch_deg=jnp.asarray(0.0, jnp.float32),
+        )
+
+    if on_tpu:
+        render = lambda s, c: _render_pallas_raw(s, c, config.polish_iters,
+                                                 bounces)
+    else:
+        render = lambda s, c: _render_image_jit(s, c, config)
+
+    template = scene32
+    params = extract_params(template)
+
+    def loss_fn(params, yaw):
+        s = apply_params(template, params)
+        img = render(s, cam(yaw))
+        return jnp.mean(img * img)
+
+    @jax.jit
+    def fwdbwd_many(params, yaws):
+        def one(y):
+            g = jax.grad(loss_fn)(params, y)
+            return sum(jnp.sum(v) for v in g.values())
+        return jax.lax.map(one, yaws)
+
+    yaws_b = 90.0 + 1e-3 * jnp.arange(FWDBWD_FRAMES, dtype=jnp.float32)
+    _STAGE[0] = f"{name}:fwdbwd compile"
+    _log(f"{name}: compiling fwd+bwd ({FWDBWD_FRAMES} frames)")
+    np.asarray(fwdbwd_many(params, yaws_b))  # compile + warm
+    _STAGE[0] = f"{name}:fwdbwd measure"
+    t0 = time.perf_counter()
+    np.asarray(fwdbwd_many(params, yaws_b))
+    fwdbwd_s = (time.perf_counter() - t0) / FWDBWD_FRAMES
+    _log(f"{name}: fwd+bwd {fwdbwd_s*1e3:.3f} ms/frame "
+         f"({n_px/fwdbwd_s/1e6:.1f} Mrays/s)")
+    return {
+        "frame_ms_fwd_bwd": fwdbwd_s * 1e3,
+        "mrays_fwd_bwd": n_px / fwdbwd_s / 1e6,
     }
-    ding = _bench_scene("dingdong", scenes["dingdong"], measure_bwd=True)
-    monkey = _bench_scene("monkey_saddle", scenes["monkey_saddle"])
-    spheres = _bench_scene("20spheres", scenes["20spheres"],
-                           fwd_frames=FWDBWD_FRAMES)
-    # the reflective scene runs its full 5-bounce chain, fwd AND fused
-    # analytic bwd through the chain (reference update-cuda.cu:126-146)
-    refl = _bench_scene("reflection_test", scenes["reflection_test"],
-                        fwd_frames=FWDBWD_FRAMES, measure_bwd=True,
-                        bounces=scenes["reflection_test"].max_reflections)
 
-    results = {"dingdong": ding, "monkey_saddle": monkey,
-               "20spheres": spheres, "reflection_test": refl}
+
+def _emit(results, pending, skipped):
+    """Print one complete cumulative JSON line from whatever is measured so
+    far. The driver keeps the LAST parseable line in its tail."""
+    import jax
+
+    ding = results.get("dingdong", {})
+    if "mrays_fwd" not in ding:
+        return  # nothing headline-worthy yet
+    aux = {
+        "frame_ms_fwd_dingdong": round(ding["frame_ms_fwd"], 3),
+    }
+    if "mrays_fwd_bwd" in ding:
+        aux["mrays_per_s_fwd_bwd_dingdong"] = round(ding["mrays_fwd_bwd"], 2)
+        aux["frame_ms_fwd_bwd_dingdong"] = round(ding["frame_ms_fwd_bwd"], 3)
+    monkey = results.get("monkey_saddle", {})
+    if "mrays_fwd" in monkey:
+        aux["mrays_per_s_fwd_monkey_saddle"] = round(monkey["mrays_fwd"], 2)
+        aux["monkey_saddle_vs_baseline"] = round(
+            monkey["mrays_fwd"] / BASELINE_MRAYS_MONKEY, 3)
+    spheres = results.get("20spheres", {})
+    if "mrays_fwd" in spheres:
+        aux["mrays_per_s_fwd_20spheres"] = round(spheres["mrays_fwd"], 2)
+        aux["frame_ms_fwd_20spheres"] = round(spheres["frame_ms_fwd"], 3)
+    refl = results.get("reflection_test", {})
+    if "mrays_fwd" in refl:
+        aux["mrays_per_s_fwd_reflection5b"] = round(refl["mrays_fwd"], 2)
+    if "mrays_fwd_bwd" in refl:
+        aux["mrays_per_s_fwd_bwd_reflection5b"] = round(
+            refl["mrays_fwd_bwd"], 2)
+    aux["parity_bad_px_fraction"] = {
+        k: round(v["parity_bad_px_fraction"], 6)
+        for k, v in results.items() if "parity_bad_px_fraction" in v
+    }
+    if pending:
+        aux["pending"] = list(pending)
+    if skipped:
+        aux["skipped"] = list(skipped)
+    aux["elapsed_s"] = round(_elapsed(), 1)
+    aux["forward_backend"] = ("pallas"
+                              if jax.devices()[0].platform != "cpu"
+                              else "xla")
+    aux["device"] = str(jax.devices()[0])
     print(json.dumps({
         "metric": "mrays_per_s_fwd_dingdong_1280x720",
         "value": round(ding["mrays_fwd"], 2),
         "unit": "Mrays/s",
         "vs_baseline": round(ding["mrays_fwd"] / BASELINE_MRAYS, 3),
-        "aux": {
-            "frame_ms_fwd_dingdong": round(ding["frame_ms_fwd"], 3),
-            "mrays_per_s_fwd_bwd_dingdong": round(ding["mrays_fwd_bwd"], 2),
-            "frame_ms_fwd_bwd_dingdong": round(ding["frame_ms_fwd_bwd"], 3),
-            "mrays_per_s_fwd_monkey_saddle": round(monkey["mrays_fwd"], 2),
-            "monkey_saddle_vs_baseline": round(
-                monkey["mrays_fwd"] / BASELINE_MRAYS_MONKEY, 3),
-            "mrays_per_s_fwd_20spheres": round(spheres["mrays_fwd"], 2),
-            "frame_ms_fwd_20spheres": round(spheres["frame_ms_fwd"], 3),
-            "mrays_per_s_fwd_reflection5b": round(refl["mrays_fwd"], 2),
-            "mrays_per_s_fwd_bwd_reflection5b": round(
-                refl["mrays_fwd_bwd"], 2),
-            "parity_bad_px_fraction": {
-                k: round(v["parity_bad_px_fraction"], 6)
-                for k, v in results.items()
-            },
-            "forward_backend": ("pallas"
-                                if jax.devices()[0].platform != "cpu"
-                                else "xla"),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+        "aux": aux,
+    }), flush=True)
+
+
+def main():
+    threading.Thread(target=_heartbeat, daemon=True).start()
+    _log(f"starting: budget={BUDGET_S:.0f}s scale={SCALE} "
+         f"frames={FWD_FRAMES}")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/trt_bench_cache")
+
+    import dataclasses
+
+    import tpu_ray_tracer as trt
+
+    def load(name):
+        scene = trt.load_from_file(
+            os.path.join(REPO, "scenes", name + ".yml"))
+        if SCALE != 1:
+            scene = dataclasses.replace(
+                scene, width=max(8, int(scene.width * SCALE)),
+                height=max(8, int(scene.height * SCALE)))
+        return scene
+
+    _STAGE[0] = "device probe"
+    _log(f"devices: {jax.devices()}")
+
+    # Stage list, headline first; each entry = (key, scene name, callable).
+    # 20spheres goes last: it is the largest compile, and with incremental
+    # emission its loss under a timeout costs only its own row.
+    refl_name = "reflection_test"
+    stages = []
+    scenes = {}
+
+    def scene_for(name):
+        if name not in scenes:
+            scenes[name] = load(name)
+        return scenes[name]
+
+    results = {}
+
+    stages.append(("dingdong.fwd", "dingdong",
+                   lambda: _bench_fwd("dingdong", scene_for("dingdong"))))
+    stages.append(("dingdong.fwdbwd", "dingdong",
+                   lambda: _bench_fwdbwd("dingdong", scene_for("dingdong"))))
+    stages.append(("monkey_saddle.fwd", "monkey_saddle",
+                   lambda: _bench_fwd("monkey_saddle",
+                                      scene_for("monkey_saddle"))))
+    # the reflective scene runs its full 5-bounce chain, fwd AND fused
+    # analytic bwd through the chain (reference update-cuda.cu:126-146)
+    stages.append((f"{refl_name}.fwd", refl_name,
+                   lambda: _bench_fwd(
+                       refl_name, scene_for(refl_name),
+                       fwd_frames=FWDBWD_FRAMES,
+                       bounces=scene_for(refl_name).max_reflections)))
+    stages.append((f"{refl_name}.fwdbwd", refl_name,
+                   lambda: _bench_fwdbwd(
+                       refl_name, scene_for(refl_name),
+                       bounces=scene_for(refl_name).max_reflections)))
+    stages.append(("20spheres.fwd", "20spheres",
+                   lambda: _bench_fwd("20spheres", scene_for("20spheres"),
+                                      fwd_frames=FWDBWD_FRAMES)))
+
+    skipped = []
+    for i, (stage_name, scene_key, run) in enumerate(stages):
+        remaining = [s[0] for s in stages[i + 1:]]
+        if _elapsed() > BUDGET_S and "dingdong" in results:
+            _log(f"budget exhausted ({_elapsed():.0f}s > {BUDGET_S:.0f}s): "
+                 f"skipping {stage_name} and the rest")
+            skipped = [stage_name] + remaining
+            break
+        _STAGE[0] = stage_name
+        out = run()
+        results.setdefault(scene_key, {}).update(out)
+        _emit(results, pending=remaining, skipped=[])
+    _emit(results, pending=[], skipped=skipped)
 
     failures = [
         f"{k}: {results[k]['parity_bad_px_fraction']:.6f} > {PARITY_GATES[k]}"
         for k in results
-        if results[k]["parity_bad_px_fraction"] > PARITY_GATES[k]
+        if "parity_bad_px_fraction" in results[k]
+        and results[k]["parity_bad_px_fraction"] > PARITY_GATES[k]
     ]
     if failures:
         print("PARITY GATE FAILED: " + "; ".join(failures), file=sys.stderr)
         sys.exit(1)
+    _log("done")
 
 
 if __name__ == "__main__":
