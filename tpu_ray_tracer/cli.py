@@ -105,42 +105,108 @@ def cmd_render(args) -> int:
     return 0
 
 
+def _resolve_backend(args_backend: str) -> str:
+    """auto -> the fused Pallas kernel on an accelerator, XLA pipeline on
+    CPU hosts (where the Pallas interpreter would be meaninglessly slow)."""
+    if args_backend != "auto":
+        return args_backend
+    import jax
+
+    return "pallas" if jax.devices()[0].platform != "cpu" else "jax"
+
+
 def cmd_bench(args) -> int:
-    from . import FAST_CONFIG, render_image
+    """Frame-time / Mrays/s report.
+
+    Timing methodology (same as bench.py; see docs/performance.md): N
+    frames with DISTINCT camera poses inside ONE jitted ``lax.map``, each
+    frame reduced to a scalar, the result fetched — wall time / N. Per-
+    frame ``block_until_ready`` loops are NOT used: through the axon TPU
+    relay they can return without real execution, reporting physically
+    impossible frame times. The reference's analogue is device-true
+    cudaEvent timing around the kernel (src/update-cuda.cu:178-189).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import Camera, FAST_CONFIG
     from .utils.timing import FrameTimer, mrays_per_s
 
     scene = _load(args)
     n_px = scene.width * scene.height
-    # warmup / compile
+    backend = _resolve_backend(args.backend)
+
+    if backend == "numpy":
+        # the reference's serial-CPU-backend analogue: honest wall timing
+        from .render.reference_cpu import render_image_np
+
+        timer = FrameTimer()
+        times = []
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            render_image_np(scene, yaw_deg=90.0 + 1e-3 * i)
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            timer.frame(dt * 1e3)
+        best = min(times)
+        print(f"backend numpy | frame best {best*1e3:.3f} ms mean "
+              f"{sum(times)/len(times)*1e3:.3f} ms | "
+              f"{mrays_per_s(n_px, best):.1f} Mrays/s (primary)")
+        return 0
+
+    scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
+
+    def cam(yaw):
+        return Camera(
+            position=jnp.zeros(3, jnp.float32),
+            yaw_deg=jnp.asarray(yaw, jnp.float32),
+            pitch_deg=jnp.asarray(0.0, jnp.float32),
+        )
+
+    if backend == "pallas":
+        from .render.pallas_backend import _render_pallas_raw
+        from .render.pipeline import resolve_bounces
+
+        bounces = resolve_bounces(scene, FAST_CONFIG)
+        render = lambda y: _render_pallas_raw(scene32, cam(y), 3, bounces)
+    else:
+        from .render.pipeline import RenderConfig, _render_image_jit
+
+        config = RenderConfig(geom_dtype="float32", polish_iters=3,
+                              chunk_px=None)
+        render = lambda y: _render_image_jit(scene32, cam(y), config)
+
+    yaws = 90.0 + 1e-3 * jnp.arange(args.frames, dtype=jnp.float32)
+
+    @jax.jit
+    def frames_fn(yaws):
+        return jax.lax.map(lambda y: jnp.sum(render(y)), yaws)
+
     t0 = time.perf_counter()
-    render_image(scene, config=FAST_CONFIG).block_until_ready()
+    np.asarray(frames_fn(yaws))  # compile + warm (fetch forces execution)
     compile_s = time.perf_counter() - t0
 
     profile_ctx = None
     if args.profile:
-        import jax
-
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
 
-    timer = FrameTimer()
-    times = []
-    for _ in range(args.frames):
-        t0 = time.perf_counter()
-        render_image(scene, config=FAST_CONFIG).block_until_ready()
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        timer.frame(dt * 1e3)
+    t0 = time.perf_counter()
+    np.asarray(frames_fn(yaws))
+    frame_s = (time.perf_counter() - t0) / args.frames
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
         print(f"profiler trace written to {args.profile}")
 
-    best = min(times)
-    mean = sum(times) / len(times)
+    # the reference's once-per-second FPS surface (src/ray-tracer.cpp:239)
+    timer = FrameTimer(interval_s=0.0)
+    timer.frame(frame_s * 1e3)
     print(
-        f"compile: {compile_s:.1f} s | frame best {best*1e3:.3f} ms mean "
-        f"{mean*1e3:.3f} ms | {mrays_per_s(n_px, best):.1f} Mrays/s (primary)"
+        f"backend {backend} | compile {compile_s:.1f} s | frame "
+        f"{frame_s*1e3:.3f} ms over {args.frames} in-jit frames | "
+        f"{mrays_per_s(n_px, frame_s):.1f} Mrays/s (primary)"
     )
     return 0
 
@@ -179,12 +245,24 @@ def cmd_fit(args) -> int:
         target = render_image_sharded(scene, _default_camera(), mesh, config)
 
     perturbed = _perturb_scene(scene, args.params.split(","), args.perturb)
+    backend = args.backend
+    if backend in ("auto", "numpy"):
+        # default to the fused Pallas fwd+bwd kernels wherever they apply
+        # (accelerator hosts; the CPU interpreter would crawl); soft-
+        # visibility losses and >31-light scenes ride the XLA pipeline
+        backend = ("xla" if args.soft_tau is not None
+                   or scene.n_objects == 0 or scene.n_lights > 31
+                   else _resolve_backend("auto"))
+        backend = "xla" if backend == "jax" else backend
+    elif backend == "jax":
+        backend = "xla"
     problem = InverseProblem(
         scene_template=perturbed,
         config=config,
         param_fields=tuple(args.params.split(",")),
         learning_rate=args.lr,
         soft_tau=args.soft_tau,
+        backend=backend,
     )
     import jax
 
@@ -194,6 +272,7 @@ def cmd_fit(args) -> int:
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         print_fn=log,
+        tau_final=args.soft_tau_final,
     )
     log(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e} over {len(losses)} steps")
     return 0
@@ -234,37 +313,63 @@ def _default_camera():
 
 
 def cmd_view(args) -> int:
-    """Interactive terminal viewer (the reference's GLFW window analogue)."""
+    """Interactive terminal viewer (the reference's GLFW window analogue).
+
+    As in the reference, the render resolution is the SCENE resolution and
+    the view (window) size only scales the display (src/ray-tracer.cpp:
+    160-169, 209-214 — the texture is scene-sized regardless of window
+    size). ``--size`` sets the terminal cell grid; ``--render-size``
+    overrides the scene resolution itself (useful on CPU hosts where the
+    full-resolution frame is slow, mirroring the reference's CPU backend).
+    """
     import dataclasses
 
     import numpy as np
 
-    from .utils.term_view import run_viewer
+    from .utils.term_view import downsample_for_view, run_viewer
 
-    scene = _load(args)
-    # scene render resolution = the view resolution here
+    scene = _load_scene_only(args)
+    if args.render_size:
+        scene = dataclasses.replace(
+            scene, width=args.render_size[0], height=args.render_size[1])
     view_w = args.size[0] if args.size else 120
     view_h = args.size[1] if args.size else 72
-    scene = dataclasses.replace(scene, width=view_w, height=view_h)
+    backend = _resolve_backend(args.backend)
 
-    if args.backend == "numpy":
+    if backend == "numpy":
         from .render.reference_cpu import render_image_np
 
-        def render_fn(camera):
+        def render_raw(camera):
             return render_image_np(
                 scene,
                 position=np.asarray(camera.position),
                 yaw_deg=float(np.asarray(camera.yaw_deg)),
                 pitch_deg=float(np.asarray(camera.pitch_deg)),
             )
+    elif backend == "pallas":
+        from .render.pallas_backend import render_image_pallas
+
+        def render_raw(camera):
+            return np.asarray(render_image_pallas(scene, camera))
     else:
         from . import FAST_CONFIG, render_image
 
-        def render_fn(camera):
+        def render_raw(camera):
             return np.asarray(render_image(scene, camera, FAST_CONFIG))
+
+    def render_fn(camera):
+        return downsample_for_view(render_raw(camera), view_w, view_h)
 
     run_viewer(render_fn, view_w, view_h, print_fn=None)
     return 0
+
+
+def _load_scene_only(args):
+    """Scene load without the --size resolution override (viewer: the view
+    size must not change the render resolution)."""
+    from . import load_from_file
+
+    return load_from_file(args.scene)
 
 
 def cmd_animate(args) -> int:
@@ -322,10 +427,19 @@ def main(argv=None) -> int:
                    help="soft-visibility temperature for surface-coefficient "
                         "recovery across silhouette discontinuities "
                         "(e.g. 0.15); default: hard render")
+    p.add_argument("--soft-tau-final", type=float, default=None,
+                   help="continuation: anneal the temperature geometrically "
+                        "from --soft-tau down to this value (e.g. 1e-3) so "
+                        "the run finishes on the hard-render limit")
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("view", help="interactive terminal viewer (fly camera)")
     _add_common(p)
+    p.add_argument("--render-size", nargs=2, type=int, metavar=("W", "H"),
+                   default=None,
+                   help="override the scene's render resolution (the view "
+                        "--size only scales the display, as in the "
+                        "reference)")
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("animate", help="render a yaw-sweep camera path")

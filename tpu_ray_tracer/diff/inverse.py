@@ -142,7 +142,7 @@ def make_loss_fn(problem: InverseProblem, mesh):
             from ..render.pallas_backend import partition_for_scene
             perm, n_cubic = partition_for_scene(problem.scene_template)
 
-    def device_loss(params, camera, target_local):
+    def device_loss(params, camera, target_local, tau=None):
         scene = apply_params(template, params)
         idx = jax.lax.axis_index(AXIS)
         y0 = idx * rows_local
@@ -155,7 +155,7 @@ def make_loss_fn(problem: InverseProblem, mesh):
             )
         else:
             colors = _device_render(scene, camera, rows_local, problem.config,
-                                    bounces, problem.soft_tau)
+                                    bounces, tau)
         # mask padded rows out of the squared error
         row_ids = y0 + jnp.arange(rows_local)
         valid = (row_ids < scene.height)[:, None, None]
@@ -167,16 +167,32 @@ def make_loss_fn(problem: InverseProblem, mesh):
     # cotangents for the replicated parameters; with varying-axis checking
     # off, shard_map's transpose psums them at the P() boundary (the
     # standard escape hatch for custom_vjp inside shard_map).
-    sharded = jax.shard_map(
-        device_loss,
-        mesh=mesh,
-        in_specs=(P(), P(), P(AXIS)),
-        out_specs=P(),
-        check_vma=False,
-    )
+    if problem.soft_tau is None:
+        sharded = jax.shard_map(
+            device_loss,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
 
-    def loss(params, camera, target_padded):
-        return sharded(params, camera, target_padded) / n_valid
+        def loss(params, camera, target_padded):
+            return sharded(params, camera, target_padded) / n_valid
+    else:
+        # soft-visibility loss: the temperature is a TRACED argument so a
+        # tau-continuation schedule (anneal toward the hard loss) reuses one
+        # compiled executable across the whole run
+        sharded = jax.shard_map(
+            device_loss,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+        def loss(params, camera, target_padded, tau=problem.soft_tau):
+            tau = jnp.asarray(tau, template.coefs.dtype)
+            return sharded(params, camera, target_padded, tau) / n_valid
 
     return loss
 
@@ -189,12 +205,23 @@ def make_train_step(problem: InverseProblem, mesh=None):
     loss_fn = make_loss_fn(problem, mesh)
     optimizer = problem.optimizer()
 
-    @jax.jit
-    def train_step(params, opt_state, camera, target_padded):
-        loss, grads = jax.value_and_grad(loss_fn)(params, camera, target_padded)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if problem.soft_tau is None:
+        @jax.jit
+        def train_step(params, opt_state, camera, target_padded):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, camera, target_padded)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+    else:
+        @jax.jit
+        def train_step(params, opt_state, camera, target_padded,
+                       tau=problem.soft_tau):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, camera, target_padded, tau)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     return train_step
 
@@ -211,10 +238,27 @@ def pad_target(target, mesh, height: int):
     return target
 
 
+def tau_schedule(tau0: float, tau_final: float, steps: int):
+    """Geometric continuation schedule tau0 -> tau_final over ``steps``."""
+    if steps <= 1:
+        return [tau_final]
+    ratio = (tau_final / tau0) ** (1.0 / (steps - 1))
+    return [tau0 * ratio ** i for i in range(steps)]
+
+
 def fit(problem: InverseProblem, target, camera=None, steps: int = 200,
         mesh=None, log_every: int = 25, print_fn=print,
-        checkpoint_path=None, checkpoint_every: int = 0):
-    """Run the optimization loop; returns (params, losses)."""
+        checkpoint_path=None, checkpoint_every: int = 0,
+        tau_final: float | None = None):
+    """Run the optimization loop; returns (params, losses).
+
+    ``tau_final`` (soft-visibility problems only) turns the run into a
+    continuation: the temperature anneals geometrically from
+    ``problem.soft_tau`` down to ``tau_final`` across the steps, so descent
+    first sees smooth gradients across root-pair events and finishes on an
+    objective that has converged to the hard render (tau -> 0 limit;
+    diff/soft.py). The temperature is a traced argument — one compile for
+    the whole schedule."""
     if mesh is None:
         mesh = make_mesh()
     if camera is None:
@@ -235,9 +279,19 @@ def fit(problem: InverseProblem, target, camera=None, steps: int = 200,
     train_step = make_train_step(problem, mesh)
     target_padded = pad_target(jnp.asarray(target, jnp.float32), mesh,
                                problem.scene_template.height)
+    taus = None
+    if tau_final is not None:
+        if problem.soft_tau is None:
+            raise ValueError("tau_final requires a soft_tau problem")
+        taus = tau_schedule(problem.soft_tau, tau_final, steps)
     losses = []
     for step in range(step0, steps):
-        params, opt_state, loss = train_step(params, opt_state, camera, target_padded)
+        if taus is not None:
+            params, opt_state, loss = train_step(
+                params, opt_state, camera, target_padded, taus[step])
+        else:
+            params, opt_state, loss = train_step(
+                params, opt_state, camera, target_padded)
         losses.append(float(loss))
         if log_every and (step % log_every == 0 or step == steps - 1):
             print_fn(f"step {step}: loss {float(loss):.3e}")

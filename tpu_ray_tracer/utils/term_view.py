@@ -29,6 +29,25 @@ from .timing import FrameTimer
 ESC = "\x1b"
 
 
+def downsample_for_view(image: np.ndarray, view_w: int, view_h: int) -> np.ndarray:
+    """[H, W, 3] frame -> [view_h, view_w, 3] for terminal display.
+
+    The render resolution is the scene's (reference: the GL texture is
+    scene-sized and the window only rescales it, src/ray-tracer.cpp:209-214
+    with GL_LINEAR magnification). Area-mean over integer-strided boxes when
+    shrinking; nearest-neighbor indexing otherwise. No-op when sizes match.
+    """
+    h, w = image.shape[:2]
+    if (w, h) == (view_w, view_h):
+        return image
+    if w >= view_w and h >= view_h and w % view_w == 0 and h % view_h == 0:
+        sy, sx = h // view_h, w // view_w
+        return image.reshape(view_h, sy, view_w, sx, 3).mean(axis=(1, 3))
+    ys = (np.arange(view_h) * h) // view_h
+    xs = (np.arange(view_w) * w) // view_w
+    return image[ys][:, xs]
+
+
 def frame_to_ansi(image: np.ndarray) -> str:
     """[H, W, 3] float/uint8 (row 0 = bottom) -> ANSI half-block string."""
     img = to_uint8(image)[::-1]  # top-down for terminal
