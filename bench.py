@@ -180,7 +180,11 @@ def _bench_fwdbwd(name, scene, *, bounces=0):
 
     import tpu_ray_tracer as trt
     from tpu_ray_tracer.diff.inverse import apply_params, extract_params
-    from tpu_ray_tracer.render.pallas_backend import _render_pallas_raw
+    from tpu_ray_tracer.render.pallas_backend import (
+        _light_kinds_of,
+        _partition_for,
+        _render_pallas_jit,
+    )
     from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
 
     n_px = scene.width * scene.height
@@ -197,8 +201,18 @@ def _bench_fwdbwd(name, scene, *, bounces=0):
         )
 
     if on_tpu:
-        render = lambda s, c: _render_pallas_raw(s, c, config.polish_iters,
-                                                 bounces)
+        # Specialize the kernel on the CONCRETE scene's degree partition and
+        # light kinds even under jax.grad tracing (where coefficients are
+        # abstract and _render_pallas_raw would fall back to the
+        # conservative all-cubic routing): the bench evaluates gradients AT
+        # this scene, the partition only affects solver routing, and the
+        # IFT backward uses the full 20-monomial basis regardless — so
+        # gradients (incl. w.r.t. cubic coefficients of quadric objects)
+        # are identical, just ~25% faster.
+        perm, n_cubic = _partition_for(scene32.coefs)
+        kinds = _light_kinds_of(scene32.light_is_spherical)
+        render = lambda s, c: _render_pallas_jit(
+            s, c, config.polish_iters, bounces, n_cubic, perm, None, kinds)
     else:
         render = lambda s, c: _render_image_jit(s, c, config)
 

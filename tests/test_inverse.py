@@ -123,3 +123,46 @@ def test_loss_landscape_minimum_at_truth(jaxmod):
     assert losses[1.0] < 1e-8
     assert losses[0.8] > losses[1.0]
     assert losses[1.2] > losses[1.0]
+
+
+def test_fit_adaptive_repartition_pallas(jaxmod):
+    """fit() with the Pallas backend and optimized coefficients derives the
+    solver partition from the CURRENT iterate (adaptive repartitioning):
+    the first step runs with the template's cubics-first routing, and when
+    a gradient step populates a quadric object's cubic entries the loop
+    transparently switches to the new specialization. Descent still
+    reduces the loss."""
+    jax, jnp = jaxmod
+    import dataclasses
+
+    from tpu_ray_tracer.diff.inverse import InverseProblem, fit
+    from tpu_ray_tracer.parallel.sharding import make_mesh, render_image_sharded
+    from tpu_ray_tracer.render.pipeline import RenderConfig
+
+    mesh = make_mesh()
+    config = RenderConfig(geom_dtype="float32", polish_iters=2, bounces=0,
+                          chunk_px=None)
+    scene = dataclasses.replace(
+        trt.load_from_file(scene_path("quadratic")), width=24, height=16
+    )
+    camera = trt.Camera(
+        position=jnp.asarray([0.0, -25.0, 0.0], jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(0.0, jnp.float32),
+    )
+    target = render_image_sharded(scene, camera, mesh, config)
+    # curvature + linear perturbation with a nonzero SMOOTH gradient at
+    # this camera (same as test_partitioned_routing_grads_match_all_cubic;
+    # note the bowl is largely backlit, so many perturbations only move
+    # flat-black pixels whose gradients are exactly zero)
+    coefs_p = np.asarray(scene.coefs).copy()
+    coefs_p[:, 10:16] *= 1.25
+    coefs_p[:, 16:19] *= 0.9
+    perturbed = dataclasses.replace(scene, coefs=coefs_p)
+    problem = InverseProblem(scene_template=perturbed, config=config,
+                             param_fields=("coefs",), backend="pallas",
+                             learning_rate=2e-3)
+    params, losses = fit(problem, target, camera=camera, steps=10, mesh=mesh,
+                         log_every=0)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

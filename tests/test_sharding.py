@@ -221,3 +221,76 @@ def test_checkpoint_roundtrip(tmp_path, jaxmod):
         opt_state, r_opt,
     )
     del chex_equal
+
+
+def test_partitioned_routing_grads_match_all_cubic(jaxmod):
+    """Solver-routing specialization does not change gradients: with the
+    quadratic scene (paraboloid + plane, BOTH routed through the quadric
+    solve under the concrete partition), the fused Pallas fwd+bwd produces
+    the same coefficient gradients — including the cubic-monomial entries
+    of the quadric-routed objects, which the IFT backward populates from
+    the full 20-monomial basis — as the conservative all-cubic routing and
+    as the XLA pipeline. This is the correctness basis for bench.py's
+    specialized fwd+bwd measurement and fit()'s adaptive repartitioning.
+    (dingdong is unsuitable here: its spheres are never the nearest hit
+    from the initial camera, so their gradients are zero everywhere.)"""
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.diff.inverse import (
+        InverseProblem, extract_params, make_loss_fn, pad_target,
+    )
+    from tpu_ray_tracer.parallel.sharding import make_mesh, render_image_sharded
+    from tpu_ray_tracer.render.pallas_backend import partition_for_scene
+    from tpu_ray_tracer.render.pipeline import RenderConfig
+
+    mesh = make_mesh()
+    config = RenderConfig(geom_dtype="float32", polish_iters=2, bounces=0,
+                          chunk_px=None)
+    scene = dataclasses.replace(
+        trt.load_from_file(scene_path("quadratic")), width=24, height=16
+    )
+    # from the reference initial pose the paraboloid (vertex 20 below the
+    # origin) is invisible — every horizontal ray misses; park the camera
+    # inside the bowl instead so most rays hit it
+    camera = trt.Camera(
+        position=jnp.asarray([0.0, -25.0, 0.0], jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(0.0, jnp.float32),
+    )
+    target = render_image_sharded(scene, camera, mesh, config, backend="xla")
+    tgt = pad_target(jnp.asarray(target, jnp.float32), mesh, scene.height)
+    # evaluate gradients at a PERTURBED iterate with a nonzero SMOOTH
+    # gradient: scale the quadratic block (curvature -> normals ->
+    # Lambertian shading). A constant-term shift would not do — under a
+    # purely directional light a translation changes no normal, so its
+    # a.e. IFT gradient is exactly zero (see the identifiability notes in
+    # ARCHITECTURE.md).
+    coefs_p = np.asarray(scene.astype(jnp.float32).coefs).copy()
+    coefs_p[:, 10:16] *= 1.25
+    coefs_p[:, 16:19] *= 0.9
+    params = {"coefs": jnp.asarray(coefs_p)}
+
+    partition = partition_for_scene(scene)
+    perm, n_cubic = partition
+    assert n_cubic == 0  # every object really is quadric-routed
+
+    grads = {}
+    problem = InverseProblem(scene_template=scene, config=config,
+                             param_fields=("coefs",), backend="pallas")
+    for key, part in (("all_cubic", None), ("partitioned", partition)):
+        loss_fn = make_loss_fn(problem, mesh, partition=part)
+        loss, g = jax.jit(jax.value_and_grad(loss_fn))(params, camera, tgt)
+        grads[key] = np.asarray(g["coefs"])
+    problem_x = InverseProblem(scene_template=scene, config=config,
+                               param_fields=("coefs",), backend="xla")
+    loss_fn = make_loss_fn(problem_x, mesh)
+    _, gx = jax.jit(jax.value_and_grad(loss_fn))(params, camera, tgt)
+    grads["xla"] = np.asarray(gx["coefs"])
+
+    scale = max(np.abs(grads["xla"]).max(), 1e-9)
+    assert scale > 1e-6  # perturbed iterate: gradients are genuinely nonzero
+    for key in ("all_cubic", "partitioned"):
+        relerr = np.abs(grads[key] - grads["xla"]).max() / scale
+        assert relerr < 1e-4, (key, relerr)
+    # the quadric-routed objects' CUBIC monomial gradients are nonzero:
+    # the IFT backward sees the full basis regardless of solver routing
+    assert np.abs(grads["partitioned"][:, :10]).max() > 0

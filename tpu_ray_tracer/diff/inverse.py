@@ -100,10 +100,18 @@ def _device_render(scene: Scene, camera, rows_local: int, config: RenderConfig,
                        polish_iters=config.polish_iters, bounces=bounces)
 
 
-def make_loss_fn(problem: InverseProblem, mesh):
+def make_loss_fn(problem: InverseProblem, mesh, partition=None):
     """Build ``loss(params, camera, target_padded) -> scalar`` with rows
     sharded over `mesh`. target_padded: [Hp, W, 3] (Hp = padded rows),
-    rows beyond scene.height are masked out of the loss."""
+    rows beyond scene.height are masked out of the loss.
+
+    ``partition`` (Pallas backend only): explicit (perm, n_cubic) solver
+    routing for the object table, e.g. derived from the CURRENT optimizer
+    iterate by ``fit``'s adaptive repartitioning. Routing only selects
+    which solve produces each root; the IFT backward applies the full
+    20-monomial basis either way, so gradients — including w.r.t. cubic
+    coefficients of objects routed through the quadric solve — are
+    identical to the conservative all-cubic routing, just cheaper."""
     from jax.sharding import PartitionSpec as P
 
     # jnp-ify the closed-over template: it never crosses a jit boundary, and
@@ -136,7 +144,9 @@ def make_loss_fn(problem: InverseProblem, mesh):
         # so they are always specialized.
         from ..render.pallas_backend import light_kinds_for_scene
         kinds = light_kinds_for_scene(problem.scene_template)
-        if "coefs" in problem.param_fields:
+        if partition is not None:
+            perm, n_cubic = partition
+        elif "coefs" in problem.param_fields:
             perm, n_cubic = None, None
         else:
             from ..render.pallas_backend import partition_for_scene
@@ -197,12 +207,12 @@ def make_loss_fn(problem: InverseProblem, mesh):
     return loss
 
 
-def make_train_step(problem: InverseProblem, mesh=None):
+def make_train_step(problem: InverseProblem, mesh=None, partition=None):
     """Build a jitted ``train_step(params, opt_state, camera, target) ->
     (params, opt_state, loss)`` with the gradient all-reduce over the mesh."""
     if mesh is None:
         mesh = make_mesh()
-    loss_fn = make_loss_fn(problem, mesh)
+    loss_fn = make_loss_fn(problem, mesh, partition=partition)
     optimizer = problem.optimizer()
 
     if problem.soft_tau is None:
@@ -276,7 +286,32 @@ def fit(problem: InverseProblem, target, camera=None, steps: int = 200,
             params, opt_state, step0 = restored
             print_fn(f"resumed from {checkpoint_path} at step {step0}")
 
-    train_step = make_train_step(problem, mesh)
+    # Adaptive solver repartitioning (Pallas + optimized coefficients): the
+    # degree partition is derived from the CURRENT iterate rather than
+    # pinned to the conservative all-cubic routing. A step that turns a
+    # quadric object cubic changes the partition key and transparently
+    # compiles a new specialization; iterates whose partition is stable
+    # (e.g. structured recoveries that never touch quadric objects' cubic
+    # entries) run the cheap routing for the whole fit. float(loss) below
+    # syncs every step anyway, so the host-side coefficient check is free.
+    adaptive = (problem.backend == "pallas" and problem.soft_tau is None
+                and "coefs" in problem.param_fields
+                and 0 < problem.scene_template.n_objects
+                and problem.scene_template.n_lights <= 31)
+    step_cache = {}
+
+    def step_fn_for(params):
+        if not adaptive:
+            key = None
+        else:
+            from ..render.pallas_backend import _degree_partition
+            key = _degree_partition(np.asarray(params["coefs"]))
+            key = (key[0] if isinstance(key[0], tuple)
+                   else tuple(int(i) for i in key[0]), key[1])
+        if key not in step_cache:
+            step_cache[key] = make_train_step(problem, mesh, partition=key)
+        return step_cache[key]
+
     target_padded = pad_target(jnp.asarray(target, jnp.float32), mesh,
                                problem.scene_template.height)
     taus = None
@@ -286,6 +321,7 @@ def fit(problem: InverseProblem, target, camera=None, steps: int = 200,
         taus = tau_schedule(problem.soft_tau, tau_final, steps)
     losses = []
     for step in range(step0, steps):
+        train_step = step_fn_for(params)
         if taus is not None:
             params, opt_state, loss = train_step(
                 params, opt_state, camera, target_padded, taus[step])
