@@ -64,7 +64,11 @@ PARITY_GATES = {
 }
 
 FWD_FRAMES = int(os.environ.get("TRT_BENCH_FRAMES", "32"))
-FWDBWD_FRAMES = 8
+# same in-jit frame count as the forward: at 8 frames the fixed relay
+# dispatch cost (~10 ms/call) dominated the ~0.2 ms true backward-kernel
+# increment, under-reporting fwd+bwd by ~40% (decomposition 2026-08-21:
+# specialized fwd 3.59 ms, +aux ~0, +bwd 0.20 ms per frame)
+FWDBWD_FRAMES = int(os.environ.get("TRT_BENCH_FRAMES", "32"))
 BUDGET_S = float(os.environ.get("TRT_BENCH_BUDGET_S", "1500"))
 # Debug knob: scale scene resolutions down for fast structural runs
 # (disables the committed full-res goldens; never set by the driver).
