@@ -355,9 +355,14 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                         else min(_SHADOW_POLISH_ITERS, polish_iters))
     shadow_iters = max(1, min(shadow_iters, polish_iters))
     # Tile-uniform work skips (A/B-able via TRT_TILE_SKIPS=0): the sky-tile
-    # shading skip, the per-light lam<=0 occlusion skip, and the
-    # reflection-chain exhaustion skip.
+    # shading skip and the reflection-chain exhaustion skip.
     use_skips = os.environ.get("TRT_TILE_SKIPS", "1") == "1"
+    # The per-light lam<=0 occlusion lax.cond is a separate, OFF-by-default
+    # knob: measured 2026-08-21 (sign-based occlusion test, min-of-3
+    # in-jit), the cond + tile reduction costs more than the sweeps it
+    # saves on every bundled scene (20spheres 6.53 -> 6.03 ms without it,
+    # dingdong 3.29 -> 3.25 ms).
+    use_light_skips = os.environ.get("TRT_LIGHT_SKIPS", "0") == "1"
 
     def nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz):
         """Best valid hit over all objects (reference update-cuda.cu:65-77).
@@ -489,19 +494,62 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
 
         def quadlin_occ_coeffs(t2, t1, t0, max_t):
             """Occlusion boolean (as f32) for a degree <= 2 t-polynomial,
-            reference root-selection semantics (surface_impl.h:138-153)."""
-            is_quad, disc, lo, hi = _stable_quad_roots(t2, t1, t0)
-            sel = jnp.where(lo >= EPS, lo, hi)
-            quad_hit = (disc >= 0) & (sel > EPS) & (sel < max_t)
+            reference root-selection semantics (surface_impl.h:138-153) —
+            DIVISION- and SQRT-FREE. Instead of computing the roots, the
+            selected root is classified against (EPS, max_t) from the signs
+            of f(EPS), f(max_t), the derivative g(c) = 2*t2*c + t1 (vertex
+            side), and the discriminant. Case analysis (r = roots, v =
+            vertex; the reference selects (-t1 - sqrt(disc))/(2*t2) if
+            >= EPS else the other root — the SMALLER root first for t2 > 0,
+            the LARGER for t2 < 0):
+
+            t2 > 0 (upward): sel = smallest root >= EPS.
+              r1 > EPS (sel = r1):  f(E) > 0 and v > E (g(E) < 0);
+                occluded iff r1 < M  <=>  f(M) < 0 or v < M (g(M) > 0).
+              r1 <= EPS < r2 (sel = r2):  f(E) < 0;
+                occluded iff r2 < M  <=>  f(M) > 0 and g(M) > 0.
+            t2 < 0 (downward): sel = LARGER root r2 when >= EPS (the
+              reference's far-root asymmetry, replicated exactly):
+              r2 > EPS  <=>  f(E) > 0 or g(E) > 0 (given disc >= 0);
+              occluded iff also r2 < M  <=>  f(M) < 0 and g(M) < 0.
+
+            All boolean algebra is f32 products/maxes: t2 is a traced
+            SCALAR for directional lights and Mosaic cannot lower a
+            scalar-predicate select over vector<i1>.
+            """
+            E = EPS
+            f32 = jnp.float32
+            fE = (t2 * E + t1) * E + t0
+            fM = (t2 * max_t + t1) * max_t + t0
+            gE = 2.0 * t2 * E + t1
+            gM = 2.0 * t2 * max_t + t1
+            disc_ok = (t1 * t1 - 4.0 * t2 * t0 >= 0).astype(f32)
+            # t2 > 0: sel-in-range = A (sel = r1) or B (sel = r2)
+            a_pos = ((fE > 0).astype(f32) * (gE < 0).astype(f32)
+                     * jnp.maximum((fM < 0).astype(f32),
+                                   (gM > 0).astype(f32)))
+            b_pos = ((fE < 0).astype(f32) * (fM > 0).astype(f32)
+                     * (gM > 0).astype(f32))
+            occ_pos = disc_ok * jnp.maximum(a_pos, b_pos)
+            # t2 < 0: sel = larger root
+            occ_neg = (disc_ok
+                       * jnp.maximum((fE > 0).astype(f32),
+                                     (gE > 0).astype(f32))
+                       * (fM < 0).astype(f32) * (gM < 0).astype(f32))
+            sp = (t2 > 0).astype(f32)
+            quad_hit = sp * occ_pos + (1.0 - sp) * occ_neg
+
             is_lin = jnp.abs(t1) > EPS
-            t_lin = -t0 / jnp.where(is_lin, t1, 1.0)
-            lin_hit = is_lin & (t_lin > EPS) & (t_lin < max_t)
-            # float blend instead of a boolean-vector select: is_quad can be
-            # a traced SCALAR (directional light -> scalar t2), and Mosaic
-            # cannot lower a scalar-predicate select over vector<i1>.
-            isq = is_quad.astype(jnp.float32)
-            return (isq * quad_hit.astype(jnp.float32)
-                    + (1.0 - isq) * lin_hit.astype(jnp.float32))
+            # linear root -t0/t1 in (EPS, max_t), division-free: compare
+            # -t0 against E*t1 and M*t1 with the t1-sign blend
+            st = (t1 > 0).astype(f32)
+            a = -t0
+            lin_pos = ((a > E * t1).astype(f32) * (a < max_t * t1).astype(f32))
+            lin_neg = ((a < E * t1).astype(f32) * (a > max_t * t1).astype(f32))
+            lin_hit = is_lin.astype(f32) * (st * lin_pos + (1.0 - st) * lin_neg)
+
+            isq = (jnp.abs(t2) > EPS).astype(f32)
+            return isq * quad_hit + (1.0 - isq) * lin_hit
 
         def quad_occ_one(coef, f0, g0, sd, max_t):
             """Occluded-by-this-quadric boolean: Taylor assembly (t2 = Q(d),
@@ -653,7 +701,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                     occ = jnp.maximum(occ, quad_occ_one(coef, f0, g0, sd, max_t))
                 return occ
 
-            if use_skips:
+            if use_light_skips:
                 occluded_f = jax.lax.cond(
                     jnp.max(lam) > 0.0, run_occlusion,
                     lambda _: jnp.zeros_like(px), None,
