@@ -371,7 +371,15 @@ def main():
             skipped = [stage_name] + remaining
             break
         _STAGE[0] = stage_name
-        out = run()
+        try:
+            out = run()
+        except Exception as exc:  # one broken stage must not kill the rest
+            _log(f"STAGE FAILED {stage_name}: {type(exc).__name__}: {exc}")
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            results.setdefault(scene_key, {}).setdefault(
+                "failed_stages", []).append(stage_name)
+            continue
         results.setdefault(scene_key, {}).update(out)
         _emit(results, pending=remaining, skipped=[])
     _emit(results, pending=[], skipped=skipped)
