@@ -357,12 +357,17 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
     # Tile-uniform work skips (A/B-able via TRT_TILE_SKIPS=0): the sky-tile
     # shading skip and the reflection-chain exhaustion skip.
     use_skips = os.environ.get("TRT_TILE_SKIPS", "1") == "1"
-    # The per-light lam<=0 occlusion lax.cond is a separate, OFF-by-default
-    # knob: measured 2026-08-21 (sign-based occlusion test, min-of-3
-    # in-jit), the cond + tile reduction costs more than the sweeps it
-    # saves on every bundled scene (20spheres 6.53 -> 6.03 ms without it,
-    # dingdong 3.29 -> 3.25 ms).
-    use_light_skips = os.environ.get("TRT_LIGHT_SKIPS", "0") == "1"
+    # The per-light lam<=0 occlusion lax.cond is a separate knob, default
+    # OFF on real TPUs: measured 2026-08-21 (sign-based occlusion test,
+    # min-of-3 in-jit), the cond + tile reduction costs more than the
+    # sweeps it saves on every bundled scene (20spheres 6.53 -> 6.03 ms
+    # without it, dingdong 3.29 -> 3.25 ms). In INTERPRETER mode the cond
+    # stays ON: without it the inlined occlusion bodies fuse across the
+    # whole kernel and the XLA:CPU compile of the fused-backward tests
+    # explodes from minutes to >50 min (measured on the full suite).
+    _default_light_skips = "1" if _interpret_mode() else "0"
+    use_light_skips = os.environ.get(
+        "TRT_LIGHT_SKIPS", _default_light_skips) == "1"
 
     def nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz):
         """Best valid hit over all objects (reference update-cuda.cu:65-77).
