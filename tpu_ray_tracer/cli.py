@@ -200,9 +200,9 @@ def cmd_bench(args) -> int:
         profile_ctx.__exit__(None, None, None)
         print(f"profiler trace written to {args.profile}")
 
-    # the reference's once-per-second FPS surface (src/ray-tracer.cpp:239)
-    timer = FrameTimer(interval_s=0.0)
-    timer.frame(frame_s * 1e3)
+    # the reference's FPS line (src/ray-tracer.cpp:239), from the measured
+    # per-frame time
+    print(f"FPS: {1.0 / frame_s:.4f}, last render time: {frame_s * 1e3:.4f} ms")
     print(
         f"backend {backend} | compile {compile_s:.1f} s | frame "
         f"{frame_s*1e3:.3f} ms over {args.frames} in-jit frames | "
