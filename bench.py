@@ -53,14 +53,20 @@ BASELINE_MRAYS = 36.864  # 921600 px / 25 ms (BASELINE.md, derived row 1)
 BASELINE_MRAYS_MONKEY = 28.235  # 480000 px / 17 ms (BASELINE.md, derived row 2)
 
 # Committed full-resolution parity gates: bad-pixel fraction (max channel
-# error > 2/255 vs the f64 NumPy golden) per scene. Headline dingdong
-# measured 0.0016 on TPU v5e in r1; the others leave the same margin over
-# their measured values. Exceeding a gate exits nonzero.
+# error > 2/255 vs the f64 NumPy golden) per scene — ALL 8 bundled scenes
+# (VERDICT r3 #3). Headline dingdong measured 0.0016 on TPU v5e in r1;
+# the others leave the same margin over their measured values (r4 TPU
+# sweep: quadratic/cubic/clebsch 0.0000x, cayley ~0.001). Exceeding a gate
+# exits nonzero.
 PARITY_GATES = {
     "dingdong": 0.006,
     "monkey_saddle": 0.006,
     "20spheres": 0.006,
     "reflection_test": 0.006,
+    "quadratic": 0.006,
+    "cayley": 0.006,
+    "clebsch": 0.006,
+    "cubic": 0.006,
 }
 
 FWD_FRAMES = int(os.environ.get("TRT_BENCH_FRAMES", "32"))
@@ -186,8 +192,8 @@ def _bench_fwdbwd(name, scene, *, bounces=0):
     from tpu_ray_tracer.diff.inverse import apply_params, extract_params
     from tpu_ray_tracer.render.pallas_backend import (
         _light_kinds_of,
-        _partition_for,
         _render_pallas_jit,
+        _statics_for,
     )
     from tpu_ray_tracer.render.pipeline import RenderConfig, _render_image_jit
 
@@ -213,10 +219,11 @@ def _bench_fwdbwd(name, scene, *, bounces=0):
         # IFT backward uses the full 20-monomial basis regardless — so
         # gradients (incl. w.r.t. cubic coefficients of quadric objects)
         # are identical, just ~25% faster.
-        perm, n_cubic = _partition_for(scene32.coefs)
+        perm, n_cubic, posdef = _statics_for(scene32.coefs)
         kinds = _light_kinds_of(scene32.light_is_spherical)
         render = lambda s, c: _render_pallas_jit(
-            s, c, config.polish_iters, bounces, n_cubic, perm, None, kinds)
+            s, c, config.polish_iters, bounces, n_cubic, perm, None, kinds,
+            posdef)
     else:
         render = lambda s, c: _render_image_jit(s, c, config)
 
@@ -262,28 +269,32 @@ def _emit(results, pending, skipped):
     aux = {
         "frame_ms_fwd_dingdong": round(ding["frame_ms_fwd"], 3),
     }
+    # the reflective scene runs its full 5-bounce chain -> distinct key
+    display = {"reflection_test": "reflection5b"}
+    for key, r in results.items():
+        name = display.get(key, key)
+        if key != "dingdong" and "mrays_fwd" in r:
+            aux[f"mrays_per_s_fwd_{name}"] = round(r["mrays_fwd"], 2)
+        if "mrays_fwd_bwd" in r:
+            aux[f"mrays_per_s_fwd_bwd_{name}"] = round(r["mrays_fwd_bwd"], 2)
     if "mrays_fwd_bwd" in ding:
-        aux["mrays_per_s_fwd_bwd_dingdong"] = round(ding["mrays_fwd_bwd"], 2)
         aux["frame_ms_fwd_bwd_dingdong"] = round(ding["frame_ms_fwd_bwd"], 3)
     monkey = results.get("monkey_saddle", {})
     if "mrays_fwd" in monkey:
-        aux["mrays_per_s_fwd_monkey_saddle"] = round(monkey["mrays_fwd"], 2)
         aux["monkey_saddle_vs_baseline"] = round(
             monkey["mrays_fwd"] / BASELINE_MRAYS_MONKEY, 3)
     spheres = results.get("20spheres", {})
     if "mrays_fwd" in spheres:
-        aux["mrays_per_s_fwd_20spheres"] = round(spheres["mrays_fwd"], 2)
         aux["frame_ms_fwd_20spheres"] = round(spheres["frame_ms_fwd"], 3)
-    refl = results.get("reflection_test", {})
-    if "mrays_fwd" in refl:
-        aux["mrays_per_s_fwd_reflection5b"] = round(refl["mrays_fwd"], 2)
-    if "mrays_fwd_bwd" in refl:
-        aux["mrays_per_s_fwd_bwd_reflection5b"] = round(
-            refl["mrays_fwd_bwd"], 2)
     aux["parity_bad_px_fraction"] = {
         k: round(v["parity_bad_px_fraction"], 6)
         for k, v in results.items() if "parity_bad_px_fraction" in v
     }
+    failed = sorted(
+        s for v in results.values() for s in v.get("failed_stages", ())
+    )
+    if failed:
+        aux["failed"] = failed
     if pending:
         aux["pending"] = list(pending)
     if skipped:
@@ -347,6 +358,10 @@ def main():
     stages.append(("monkey_saddle.fwd", "monkey_saddle",
                    lambda: _bench_fwd("monkey_saddle",
                                       scene_for("monkey_saddle"))))
+    # backward on the pure-cubic polynomial scene (VERDICT r3 #2)
+    stages.append(("monkey_saddle.fwdbwd", "monkey_saddle",
+                   lambda: _bench_fwdbwd("monkey_saddle",
+                                         scene_for("monkey_saddle"))))
     # the reflective scene runs its full 5-bounce chain, fwd AND fused
     # analytic bwd through the chain (reference update-cuda.cu:126-146)
     stages.append((f"{refl_name}.fwd", refl_name,
@@ -361,6 +376,18 @@ def main():
     stages.append(("20spheres.fwd", "20spheres",
                    lambda: _bench_fwd("20spheres", scene_for("20spheres"),
                                       fwd_frames=FWDBWD_FRAMES)))
+    # backward where the unrolled per-object gather/scatter is widest
+    # (20 objects x 19 lights — VERDICT r3 #2)
+    stages.append(("20spheres.fwdbwd", "20spheres",
+                   lambda: _bench_fwdbwd("20spheres",
+                                         scene_for("20spheres"))))
+    # remaining corpus: full-resolution forward + parity gate per scene
+    # (VERDICT r3 #3 — parity_bad_px_fraction must cover all 8 scenes)
+    for extra in ("quadratic", "cubic", "clebsch", "cayley"):
+        stages.append((f"{extra}.fwd", extra,
+                       lambda extra=extra: _bench_fwd(
+                           extra, scene_for(extra),
+                           fwd_frames=FWDBWD_FRAMES)))
 
     skipped = []
     for i, (stage_name, scene_key, run) in enumerate(stages):
@@ -379,10 +406,20 @@ def main():
             traceback.print_exc(file=sys.stderr)
             results.setdefault(scene_key, {}).setdefault(
                 "failed_stages", []).append(stage_name)
+            # emit so the failure is visible in aux.failed, not silently
+            # dropped from pending (ADVICE r3 bench.py finding)
+            _emit(results, pending=remaining, skipped=[])
             continue
         results.setdefault(scene_key, {}).update(out)
         _emit(results, pending=remaining, skipped=[])
     _emit(results, pending=[], skipped=skipped)
+
+    if "mrays_fwd" not in results.get("dingdong", {}):
+        # no headline number was ever produced: the bench as a whole failed
+        # and must not exit 0 with no JSON line (ADVICE r3)
+        print("BENCH FAILED: headline stage dingdong.fwd produced no result",
+              file=sys.stderr)
+        sys.exit(1)
 
     failures = [
         f"{k}: {results[k]['parity_bad_px_fraction']:.6f} > {PARITY_GATES[k]}"

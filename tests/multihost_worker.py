@@ -90,6 +90,32 @@ moved = bool(any(
     float(jnp.max(jnp.abs(new_params[k] - params[k]))) > 0 for k in params
 ))
 
+# --- checkpoint while distributed: fit() with a SHARED checkpoint path on
+# every process. The save must be process-0-gated (VERDICT r3 weak #4) —
+# ungated, both processes would race np.savez on one file. The spy counts
+# local save invocations; the collective inside each train step serializes
+# the loop across processes, so the count is race-free.
+import tpu_ray_tracer.diff.inverse as inv  # noqa: E402
+
+ckpt = os.path.join(outdir, "shared_ckpt.npz")
+ckpt_writes = []
+_orig_save = inv.save_checkpoint
+
+
+def _spy_save(path, params, opt_state, step):
+    ckpt_writes.append(step)
+    _orig_save(path, params, opt_state, step)
+
+
+inv.save_checkpoint = _spy_save
+fit_params, fit_losses = inv.fit(
+    problem, full, steps=2, mesh=mesh, log_every=0,
+    checkpoint_path=ckpt, checkpoint_every=1,
+)
+inv.save_checkpoint = _orig_save
+multihost_utils.sync_global_devices("ckpt_written")
+ckpt_step = int(np.load(ckpt)["__step__"]) if os.path.exists(ckpt) else -1
+
 with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
     json.dump({
         "process_count": jax.process_count(),
@@ -99,5 +125,7 @@ with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
         "row_count": n_rows,
         "loss": loss_val,
         "moved": moved,
+        "ckpt_writes": len(ckpt_writes),
+        "ckpt_step": ckpt_step,
     }, f)
 print(f"[worker {pid}] ok: bad_frac={bad_frac}, loss={loss_val:.3e}")

@@ -23,7 +23,8 @@ GOLDEN_DIR = os.path.join(REPO, "bench_goldens")
 # an order of magnitude under bench.py's 2/255 bad-pixel threshold.
 F16_TOL = 6e-4
 
-CHEAP_SCENES = ["reflection_test", "monkey_saddle", "dingdong"]
+CHEAP_SCENES = ["reflection_test", "monkey_saddle", "dingdong",
+                "quadratic", "cubic", "clebsch", "cayley"]
 
 
 @pytest.mark.parametrize("name", CHEAP_SCENES)
@@ -55,5 +56,6 @@ def test_20spheres_golden_shape_and_range():
     assert committed.dtype == np.float16
     assert np.isfinite(committed.astype(np.float32)).all()
     assert committed.min() >= 0.0 and committed.max() <= 1.0
-    # not a uniform/degenerate image
-    assert committed.std() > 0.01
+    # not a uniform/degenerate image (std on the f32 cast: the f16 sum
+    # overflows to inf, which would pass the assertion vacuously)
+    assert committed.astype(np.float32).std() > 0.01

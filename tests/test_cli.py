@@ -129,6 +129,15 @@ def test_fit_backend_wiring(monkeypatch):
     assert captured["backend"] == "pallas"  # explicit choice is honored
 
 
+def test_fit_rejects_numpy_backend(capsys):
+    # --backend numpy has no differentiable path; fit must reject it with a
+    # clear error instead of silently remapping to auto (ADVICE r3)
+    rc = main(["fit", scene_path("quadratic"), "--size", "12", "8",
+               "--steps", "1", "--backend", "numpy"])
+    assert rc == 2
+    assert "not differentiable" in capsys.readouterr().err
+
+
 def test_view_resolution_independent_of_view_size(capsys, monkeypatch):
     # reference: render at scene resolution regardless of window size
     # (src/ray-tracer.cpp:160-169, 209-214); --size only scales the display

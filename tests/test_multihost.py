@@ -100,6 +100,12 @@ def test_two_process_distributed_render_and_train(tmp_path):
         assert r["moved"]
     # the replicated loss must agree across processes
     assert abs(results[0]["loss"] - results[1]["loss"]) <= 1e-12
+    # checkpoint-while-distributed: only process 0 writes the shared path
+    # (2 steps x checkpoint_every=1), process 1 never does, and the final
+    # file is a valid step-2 checkpoint on both processes' view of disk
+    writes = sorted(r["ckpt_writes"] for r in results)
+    assert writes == [0, 2], writes
+    assert all(r["ckpt_step"] == 2 for r in results), results
     # host-local strips tile the image
     spans = sorted((r["row_start"], r["row_count"]) for r in results)
     assert spans[0][0] == 0

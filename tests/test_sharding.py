@@ -294,3 +294,55 @@ def test_partitioned_routing_grads_match_all_cubic(jaxmod):
     # the quadric-routed objects' CUBIC monomial gradients are nonzero:
     # the IFT backward sees the full basis regardless of solver routing
     assert np.abs(grads["partitioned"][:, :10]).max() > 0
+
+
+def test_weak_scaling_sharded_overhead_bounded(jaxmod):
+    """Weak-scaling sanity on the virtual mesh (VERDICT r3 #7): rendering
+    the SAME total pixel load sharded over 8 virtual devices must not cost
+    materially more wall time than unsharded on one device. On this host
+    the 8 virtual devices share 2 physical cores, so per-device wall-time
+    FLATNESS (the real weak-scaling curve) is unmeasurable here — what is
+    measurable is that shard_map adds no serialization or collective
+    overhead at fixed total work: both programs do identical arithmetic,
+    and the sharded one is allowed a generous 2x slack for scheduling
+    noise. On real multi-chip meshes the per-device work is 1/8th of this,
+    with the only collective being the (tiny) parameter-gradient psum —
+    see docs/performance.md "Scaling & communication volume"."""
+    import time
+
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.parallel.sharding import make_mesh, render_image_sharded
+    from tpu_ray_tracer.render.pipeline import RenderConfig, render_image
+
+    scene = dataclasses.replace(
+        trt.load_from_file(scene_path("quadratic")), width=64, height=64
+    )
+    config = RenderConfig(geom_dtype="float32", polish_iters=2, bounces=0,
+                          chunk_px=None)
+    camera = trt.Camera(
+        position=jnp.zeros(3, jnp.float32),
+        yaw_deg=jnp.asarray(90.0, jnp.float32),
+        pitch_deg=jnp.asarray(0.0, jnp.float32),
+    )
+    mesh = make_mesh()
+
+    def time_best(fn, reps=3):
+        np.asarray(fn())  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # backend="xla" on BOTH sides: the sharded default is the Pallas
+    # interpreter on CPU hosts, which would compare interpreter overhead,
+    # not sharding overhead
+    t_single = time_best(lambda: render_image(scene, camera, config))
+    t_sharded = time_best(
+        lambda: render_image_sharded(scene, camera, mesh, config,
+                                     backend="xla"))
+    assert t_sharded <= 2.0 * t_single + 0.05, (
+        f"sharded render {t_sharded:.3f}s vs single-device {t_single:.3f}s "
+        f"— shard_map is adding serialization overhead"
+    )

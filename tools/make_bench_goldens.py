@@ -20,13 +20,15 @@ sys.path.insert(0, REPO)
 import tpu_ray_tracer as trt  # noqa: E402
 from tpu_ray_tracer.render.reference_cpu import render_image_np  # noqa: E402
 
-SCENES = ("dingdong", "monkey_saddle", "20spheres", "reflection_test")
+SCENES = ("dingdong", "monkey_saddle", "20spheres", "reflection_test",
+          "quadratic", "cayley", "clebsch", "cubic")
 
 
 def main():
     out_dir = os.path.join(REPO, "bench_goldens")
     os.makedirs(out_dir, exist_ok=True)
-    for name in SCENES:
+    names = sys.argv[1:] or SCENES
+    for name in names:
         scene = trt.load_from_file(os.path.join(REPO, "scenes", name + ".yml"))
         golden = render_image_np(scene)
         path = os.path.join(out_dir, name + ".npz")

@@ -246,7 +246,14 @@ def cmd_fit(args) -> int:
 
     perturbed = _perturb_scene(scene, args.params.split(","), args.perturb)
     backend = args.backend
-    if backend in ("auto", "numpy"):
+    if backend == "numpy":
+        # render/bench/view honor --backend numpy; fit cannot (the NumPy
+        # oracle has no differentiable path), so reject instead of silently
+        # remapping the user's explicit choice
+        print("fit: --backend numpy is not differentiable; use "
+              "--backend jax or pallas", file=sys.stderr)
+        return 2
+    if backend == "auto":
         # default to the fused Pallas fwd+bwd kernels wherever they apply
         # (accelerator hosts; the CPU interpreter would crawl); soft-
         # visibility losses and >31-light scenes ride the XLA pipeline

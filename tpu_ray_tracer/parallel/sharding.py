@@ -73,46 +73,68 @@ def render_image_sharded(scene: Scene, camera: camera_ops.Camera, mesh: Mesh,
         # degree partition + light kinds need concrete scene tables:
         # host-side, shared by every device (static data compiled in)
         from ..render.pallas_backend import (
-            light_kinds_for_scene, partition_for_scene, render_rows_pallas,
+            light_kinds_for_scene, partition_for_scene, posdef_for_scene,
         )
         perm, n_cubic = partition_for_scene(scene)
         kinds = light_kinds_for_scene(scene)
+        posdef = posdef_for_scene(scene)
+    else:
+        perm, n_cubic, kinds, posdef = None, None, None, None
 
-    def device_program(scene_local: Scene):
-        idx = jax.lax.axis_index(AXIS)
-        y0 = idx * rows_local
-        if backend == "pallas":
-            return render_rows_pallas(
-                scene_local, camera, y0, rows_local,
-                polish_iters=config.polish_iters, bounces=bounces,
-                n_cubic=n_cubic, perm=perm, light_kinds=kinds,
+    # One compiled executable per (mesh, geometry, statics) class: building
+    # jax.jit(shard_map(...)) per call would RETRACE AND RECOMPILE every
+    # frame (and closing over the camera would bake it in as a constant,
+    # defeating the cache for moving cameras — found via the weak-scaling
+    # sanity test, r4).
+    key = (mesh, backend, rows_local, height_padded, scene.width,
+           scene.height, bounces, config.polish_iters, str(dtype),
+           perm, n_cubic, kinds, posdef)
+    fn = _SHARD_RENDER_CACHE.get(key)
+    if fn is None:
+        def device_program(scene_local: Scene, camera):
+            idx = jax.lax.axis_index(AXIS)
+            y0 = idx * rows_local
+            if backend == "pallas":
+                from ..render.pallas_backend import render_rows_pallas
+                return render_rows_pallas(
+                    scene_local, camera, y0, rows_local,
+                    polish_iters=config.polish_iters, bounces=bounces,
+                    n_cubic=n_cubic, perm=perm, light_kinds=kinds,
+                    posdef=posdef,
+                )
+            rotation, eye = camera_ops.camera_frame(camera)
+            dirs = camera_ops.pixel_directions(
+                rotation, scene_local.width, scene_local.height,
+                scene_local.aspect_ratio, scene_local.tan_half_fov,
+                y0=y0, rows=rows_local,
             )
-        rotation, eye = camera_ops.camera_frame(camera)
-        dirs = camera_ops.pixel_directions(
-            rotation, scene_local.width, scene_local.height,
-            scene_local.aspect_ratio, scene_local.tan_half_fov,
-            y0=y0, rows=rows_local,
-        )
-        origin = jnp.broadcast_to(eye, dirs.shape)
-        colors = render_rays(
-            scene_local, origin, dirs,
-            polish_iters=config.polish_iters, bounces=bounces,
-        )
-        return colors
+            origin = jnp.broadcast_to(eye, dirs.shape)
+            colors = render_rays(
+                scene_local, origin, dirs,
+                polish_iters=config.polish_iters, bounces=bounces,
+            )
+            return colors
 
-    # check_vma=False: pallas_call output avals carry no varying-axis info,
-    # so shard_map's vma checker cannot type them (same escape hatch as the
-    # custom-vjp train step in diff/inverse.py).
-    shard_fn = jax.shard_map(
-        device_program,
-        mesh=mesh,
-        in_specs=(P(),),          # scene replicated
-        out_specs=P(AXIS),        # rows sharded
-        check_vma=False,
-    )
-    # jit is mandatory: eager shard_map dispatches op-by-op across the mesh.
-    image = jax.jit(shard_fn)(scene)
+        # check_vma=False: pallas_call output avals carry no varying-axis
+        # info, so shard_map's vma checker cannot type them (same escape
+        # hatch as the custom-vjp train step in diff/inverse.py).
+        shard_fn = jax.shard_map(
+            device_program,
+            mesh=mesh,
+            in_specs=(P(), P()),      # scene + camera replicated
+            out_specs=P(AXIS),        # rows sharded
+            check_vma=False,
+        )
+        # jit is mandatory: eager shard_map dispatches op-by-op over the mesh
+        fn = jax.jit(shard_fn)
+        if len(_SHARD_RENDER_CACHE) > 32:
+            _SHARD_RENDER_CACHE.clear()
+        _SHARD_RENDER_CACHE[key] = fn
+    image = fn(scene, camera)
     return image[: scene.height]
+
+
+_SHARD_RENDER_CACHE: dict = {}
 
 
 def replicate(tree, mesh: Mesh):

@@ -230,13 +230,26 @@ def _polish(coef, ox, oy, oz, dx, dy, dz, t, iters, m_start=0, reject=True):
 
 def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     """Reference-semantics root for one object over an (8,128) ray tile
-    (kernel-local analogue of ops.roots.min_positive_root, refined mode)."""
+    (kernel-local analogue of ops.roots.min_positive_root, refined mode).
+
+    Newton budget is screen-then-refine (r4): the five candidates are
+    screened with min(2, polish_iters) Newton steps + residual rejection,
+    the reference's min-positive selection picks the winner, and only the
+    winner receives the remaining budget. Cuts the per-object cost ~25% vs
+    polishing all five candidates with the full budget; the selected root
+    converges to the same value (Newton is applied to the same function
+    either way), so only screening boundaries can differ — a 1-step screen
+    was measured to 5x dingdong's 64x48 boundary-pixel fraction (its
+    near-degenerate cubics need 2 steps to classify), the 2-step screen is
+    parity-neutral. Gated by the full-res per-scene thresholds in
+    bench.py."""
     one = jnp.ones_like(ox)
     o_pows = _powers3(ox, oy, oz)
     d_pows = _powers3(dx, dy, dz)
     t3, t2, t1, t0 = _ray_coeffs_scalar(coef, o_pows, d_pows, one)
 
-    pol = partial(_polish, coef, ox, oy, oz, dx, dy, dz, iters=polish_iters)
+    screen = min(2, polish_iters)
+    pol = partial(_polish, coef, ox, oy, oz, dx, dy, dz, iters=screen)
 
     is_cubic = jnp.abs(t3) > EPS
     is_quad = jnp.abs(t2) > EPS
@@ -290,9 +303,25 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     for cand in (*trig, sub_lo, sub_hi):
         take = (cand >= EPS) & (cand < cubic_root)
         cubic_root = jnp.where(take, cand, cubic_root)
+    if polish_iters > screen:
+        # refine ONLY the winner with the remaining Newton budget; its
+        # genuineness is already established by the screening residual
+        # test, so no re-rejection eval is needed. FAKE_ROOT fallbacks
+        # (rejected candidates that still won the scan — filtered by the
+        # caller's t < MAX_T cull) must stay put, not be Newton-walked.
+        refined = _polish(coef, ox, oy, oz, dx, dy, dz, cubic_root,
+                          iters=polish_iters - screen, reject=False)
+        real = cubic_root < _FAKE_ROOT
+        cubic_root = jnp.where(real, refined, cubic_root)
     cubic_root = jnp.where(cubic_root >= big, -1.0, cubic_root)
 
     quad_root = jnp.where(qdisc < 0, -1.0, jnp.where(sub_lo >= EPS, sub_lo, sub_hi))
+    if polish_iters > screen:
+        # same winner-refine for the degenerate-t3 quadratic branch
+        q_ref = _polish(coef, ox, oy, oz, dx, dy, dz, quad_root,
+                        iters=polish_iters - screen, reject=False)
+        quad_root = jnp.where((qdisc >= 0) & (quad_root < _FAKE_ROOT),
+                              q_ref, quad_root)
     lin_root = -t0 / jnp.where(is_lin, t1, one)
 
     return jnp.where(
@@ -305,25 +334,39 @@ def _solve_quadric(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     """Reference-semantics root for an object with identically-zero cubic
     coefficients: t3 == 0 for every ray, so only the quadratic/linear/miss
     cascade of the reference can fire (surface_impl.h:138-154). Skips the
-    whole Cardano/trig machinery — ~10x cheaper than ``_solve_object``."""
+    whole Cardano/trig machinery — ~10x cheaper than ``_solve_object``.
+
+    Select-then-polish (r4): the two roots come from the cancellation-
+    stable closed form (the same (lo, hi) mapping as the occlusion path's
+    ``_stable_quad_roots``), the reference's ``lo >= EPS ? lo : hi``
+    selection runs on them directly, and ONLY the selected root gets the
+    Newton budget (fixing f32 assembly error in t2/t1/t0) — halving the
+    dominant per-object cost vs polishing both roots. The selection
+    branch can only differ from the polish-both ordering on rays where
+    Newton moves ``lo`` across EPS — a measure-zero boundary gated by the
+    full-res parity thresholds."""
     one = jnp.ones_like(ox)
     o_pows = _powers3(ox, oy, oz, max_pow=2)
     d_pows = _powers3(dx, dy, dz, max_pow=2)
     t2, t1, t0 = _ray_coeffs_scalar(coef, o_pows, d_pows, one,
                                     m_start=QUAD_START, k_max=2)
 
-    pol = partial(_polish, coef, ox, oy, oz, dx, dy, dz,
-                  iters=polish_iters, m_start=QUAD_START, reject=False)
-
     is_quad = jnp.abs(t2) > EPS
     is_lin = jnp.abs(t1) > EPS
 
-    s2 = jnp.where(is_quad, t2, one)
     disc = t1 * t1 - 4.0 * t2 * t0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    lo = pol(t=(-t1 - sq) / (2.0 * s2))
-    hi = pol(t=(-t1 + sq) / (2.0 * s2))
-    quad_root = jnp.where(disc < 0, -1.0, jnp.where(lo >= EPS, lo, hi))
+    sgn = jnp.where(t1 >= 0, 1.0, -1.0)
+    qq = -0.5 * (t1 + sgn * sq)
+    r_q = qq / jnp.where(is_quad, t2, one)
+    qq_ok = jnp.abs(qq) > 0
+    r_c = jnp.where(qq_ok, t0 / jnp.where(qq_ok, qq, one), -1.0)
+    lo = jnp.where(t1 >= 0, r_q, r_c)
+    hi = jnp.where(t1 >= 0, r_c, r_q)
+    sel = _polish(coef, ox, oy, oz, dx, dy, dz,
+                  jnp.where(lo >= EPS, lo, hi),
+                  iters=polish_iters, m_start=QUAD_START, reject=False)
+    quad_root = jnp.where(disc < 0, -1.0, sel)
     lin_root = -t0 / jnp.where(is_lin, t1, one)
 
     return jnp.where(
@@ -337,10 +380,25 @@ def _read_coef_row(coefs_ref, i):
 
 # --- the kernel ---
 
+def _use_dir_table(light_kinds: tuple | None) -> bool:
+    """Static predicate: ship the per-(light, object) direction-form table
+    (``_dir_form_table``) into the kernel. Only meaningful when at least
+    one light is statically directional — its shadow direction is a scene
+    constant, so Q_i(d) / C_i(d) are frame constants the kernel would
+    otherwise reassemble from SMEM scalars EVERY TILE (~8k scalar-core
+    multiplies per tile on 20spheres — the many-light scalar bottleneck,
+    VERDICT r3 #1). TRT_DIR_TABLE=0 (read at kernel-build time) disables
+    it for A/B sweeps."""
+    if os.environ.get("TRT_DIR_TABLE", "1") != "1":
+        return False
+    return light_kinds is not None and any(not k for k in light_kinds)
+
+
 def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                  polish_iters: int, bounces: int, n_cubic: int | None = None,
                  save_aux: bool = False, shadow_iters: int | None = None,
-                 light_kinds: tuple | None = None):
+                 light_kinds: tuple | None = None,
+                 posdef: tuple | None = None):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
     if n_cubic is None:
@@ -351,8 +409,8 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
     # boundary pixels identically (parity measured per scene vs the f64
     # oracle; see bench.py's parity gate).
     if shadow_iters is None:
-        shadow_iters = (polish_iters if _SHADOW_POLISH_ITERS is None
-                        else min(_SHADOW_POLISH_ITERS, polish_iters))
+        sp = _shadow_polish_default()
+        shadow_iters = polish_iters if sp is None else min(sp, polish_iters)
     shadow_iters = max(1, min(shadow_iters, polish_iters))
     # Tile-uniform work skips (A/B-able via TRT_TILE_SKIPS=0): the sky-tile
     # shading skip and the reflection-chain exhaustion skip.
@@ -430,7 +488,8 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             refl = jnp.where(m, refl_ref[i], refl)
         return coef, col, refl
 
-    def shade(coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz):
+    def shade(coefs_ref, lights_ref, dir_ref, sel_coef, obj_col,
+              px, py, pz, nx, ny, nz):
         """Shadow-tested Lambertian sum over lights, clamped
         (reference update-cpu.cpp:60-77). Also returns the per-pixel
         occlusion bitmask (bit li set iff light li is shadowed) so the
@@ -473,14 +532,15 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             f0, _, g0 = _eval_F_and_grad(coef, sox, soy, soz,
                                          m_start=QUAD_START, need_mag=False,
                                          cache=so_cache)
-            quad_pre.append((coef, f0, g0))
+            pd = bool(posdef[i]) if posdef is not None else False
+            quad_pre.append((i, coef, f0, g0, pd))
         cubic_pre = []
         for i in range(n_cubic):
             coef = _read_coef_row(coefs_ref, i)
             f0, _, g0 = _eval_F_and_grad(coef, sox, soy, soz, need_mag=False,
                                          cache=so_cache)
             h6 = _hessian_entries(coef, so_cache, one)
-            cubic_pre.append((coef, f0, g0, h6))
+            cubic_pre.append((i, coef, f0, g0, h6))
 
         def _stable_quad_roots(t2, t1, t0):
             """Cancellation-stable quadratic roots mapped to the reference's
@@ -497,7 +557,8 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             hi = jnp.where(t1 >= 0, r_c, r_q)
             return is_quad, disc, lo, hi
 
-        def quadlin_occ_coeffs(t2, t1, t0, max_t):
+        def quadlin_occ_coeffs(t2, t1, t0, max_t, posdef=False,
+                               unbounded=False):
             """Occlusion boolean (as f32) for a degree <= 2 t-polynomial,
             reference root-selection semantics (surface_impl.h:138-153) —
             DIVISION- and SQRT-FREE. Instead of computing the roots, the
@@ -518,6 +579,28 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
               r2 > EPS  <=>  f(E) > 0 or g(E) > 0 (given disc >= 0);
               occluded iff also r2 < M  <=>  f(M) < 0 and g(M) < 0.
 
+            STATIC specializations (the o(L x N) occlusion sweep is the
+            many-light cost center — VERDICT r3 #1):
+
+            * ``posdef`` — the object's quadratic form Q is positive
+              definite (host-side Sylvester test on concrete coefficients,
+              ``_quad_posdef``; every sphere qualifies): then t2 = Q(d) > 0
+              for every nonzero shadow direction, so the t2 < 0 and linear
+              branches are statically dead (~20 vector ops gone per pair).
+              Boundary: t2 = 0 requires d = 0, i.e. a spherical light
+              EXACTLY at the (biased) surface point — degenerate geometry
+              the reference itself has no meaningful answer for.
+            * ``unbounded`` — the light is directional (static kind), so
+              max_t is the constant MAX_T = 1e6 and d is unit-length: with
+              posdef, t2 >= lambda_min(Q), hence f(M) = t2 M^2 + t1 M + t0
+              and g(M) = 2 t2 M + t1 are positive unless the shadow origin
+              is >~ lambda_min * 1e6 / 2 units from the occluder — i.e.
+              the selected root would lie beyond MAX_T, which the
+              reference's own regime treats as "infinitely far" (its
+              primary-hit MAX_T cull draws the same line). The f(M)/g(M)
+              sign tests are then statically 1 and the test collapses to
+              occluded <=> disc >= 0 and (f(E) < 0 or g(E) < 0).
+
             All boolean algebra is f32 products/maxes: t2 is a traced
             SCALAR for directional lights and Mosaic cannot lower a
             scalar-predicate select over vector<i1>.
@@ -525,10 +608,15 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             E = EPS
             f32 = jnp.float32
             fE = (t2 * E + t1) * E + t0
-            fM = (t2 * max_t + t1) * max_t + t0
             gE = 2.0 * t2 * E + t1
-            gM = 2.0 * t2 * max_t + t1
             disc_ok = (t1 * t1 - 4.0 * t2 * t0 >= 0).astype(f32)
+            if posdef and unbounded:
+                # sel-in-range = sel >= EPS = (r1 <= E < r2) or (E < r1):
+                # fE < 0, or fE > 0 with the vertex right of E (gE < 0)
+                return disc_ok * jnp.maximum((fE < 0).astype(f32),
+                                             (gE < 0).astype(f32))
+            fM = (t2 * max_t + t1) * max_t + t0
+            gM = 2.0 * t2 * max_t + t1
             # t2 > 0: sel-in-range = A (sel = r1) or B (sel = r2)
             a_pos = ((fE > 0).astype(f32) * (gE < 0).astype(f32)
                      * jnp.maximum((fM < 0).astype(f32),
@@ -536,6 +624,8 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             b_pos = ((fE < 0).astype(f32) * (fM > 0).astype(f32)
                      * (gM > 0).astype(f32))
             occ_pos = disc_ok * jnp.maximum(a_pos, b_pos)
+            if posdef:
+                return occ_pos
             # t2 < 0: sel = larger root
             occ_neg = (disc_ok
                        * jnp.maximum((fE > 0).astype(f32),
@@ -556,18 +646,24 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             isq = (jnp.abs(t2) > EPS).astype(f32)
             return isq * quad_hit + (1.0 - isq) * lin_hit
 
-        def quad_occ_one(coef, f0, g0, sd, max_t):
+        def quad_occ_one(coef, f0, g0, sd, max_t, posdef=False,
+                         unbounded=False, t2=None):
             """Occluded-by-this-quadric boolean: Taylor assembly (t2 = Q(d),
             t1 = gF(so).d, t0 = F(so)) + the stable closed-form test (no
-            Newton needed for a boolean)."""
+            Newton needed for a boolean). ``t2`` may arrive precomputed
+            from the per-(light, object) direction-form table (static
+            directional lights — frame-constant, so assembling it per tile
+            is pure scalar-core waste)."""
             sdx, sdy, sdz = sd
-            t2 = (coef[10] * (sdx * sdx) + coef[11] * (sdy * sdy)
-                  + coef[12] * (sdz * sdz) + coef[13] * (sdx * sdy)
-                  + coef[14] * (sdx * sdz) + coef[15] * (sdy * sdz))
+            if t2 is None:
+                t2 = (coef[10] * (sdx * sdx) + coef[11] * (sdy * sdy)
+                      + coef[12] * (sdz * sdz) + coef[13] * (sdx * sdy)
+                      + coef[14] * (sdx * sdz) + coef[15] * (sdy * sdz))
             t1 = g0[0] * sdx + g0[1] * sdy + g0[2] * sdz
-            return quadlin_occ_coeffs(t2, t1, f0, max_t)
+            return quadlin_occ_coeffs(t2, t1, f0, max_t, posdef=posdef,
+                                      unbounded=unbounded)
 
-        def cubic_occ_one(coef, f0, g0, h6, sd, sd_cub, max_t):
+        def cubic_occ_one(coef, f0, g0, h6, sd, sd_cub, max_t, t3=None):
             """Occluded-by-this-cubic boolean. Taylor assembly around the
             shared shadow origin (t3 = C(d) from the per-light cubic-form
             basis, t2 = (1/2) d^T H(so) d, t1 = gF(so).d, t0 = F(so)), then
@@ -578,10 +674,10 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             (EPS, max_t), not a shading-accurate value, so Newton against
             the direct 20-monomial evaluation is overkill here."""
             sdx, sdy, sdz = sd
-            t3 = None
-            for m in range(QUAD_START):
-                term = coef[m] * sd_cub[m]
-                t3 = term if t3 is None else t3 + term
+            if t3 is None:
+                for m in range(QUAD_START):
+                    term = coef[m] * sd_cub[m]
+                    t3 = term if t3 is None else t3 + term
             t2 = (0.5 * (h6[0] * (sdx * sdx) + h6[1] * (sdy * sdy)
                          + h6[2] * (sdz * sdz))
                   + h6[3] * (sdx * sdy) + h6[4] * (sdx * sdz)
@@ -691,19 +787,35 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             # occlusion as f32 (0/1) masks: Mosaic cannot carry vector<i1>
             # through control flow. The per-object tests are cheap enough
             # (Taylor assembly on shared precompute) to unroll outright.
-            def run_occlusion(_, sd=sd, max_t=max_t):
+            # directional lights have the static max_t = MAX_T bound (see
+            # quadlin_occ_coeffs' ``unbounded`` specialization); their
+            # Q_i(d)/C_i(d) forms come precomputed from the SMEM table
+            use_tbl = (kind is False) and dir_ref is not None
+            unbounded = kind is False
+
+            def run_occlusion(_, sd=sd, max_t=max_t, unbounded=unbounded,
+                              use_tbl=use_tbl, li=li):
                 occ = jnp.zeros_like(px)
                 if cubic_pre:
-                    sd_pows = _powers3(sd[0], sd[1], sd[2])
-                    sd_cub = [_prod(sd_pows, MONOMIAL_POWERS[m], one)
-                              for m in range(QUAD_START)]
-                    for coef, f0, g0, h6 in cubic_pre:
+                    if use_tbl:
+                        sd_cub = None
+                    else:
+                        sd_pows = _powers3(sd[0], sd[1], sd[2])
+                        sd_cub = [_prod(sd_pows, MONOMIAL_POWERS[m], one)
+                                  for m in range(QUAD_START)]
+                    for i, coef, f0, g0, h6 in cubic_pre:
+                        t3 = dir_ref[li, i] if use_tbl else None
                         occ = jnp.maximum(
                             occ, cubic_occ_one(coef, f0, g0, h6, sd, sd_cub,
-                                               max_t)
+                                               max_t, t3=t3)
                         )
-                for coef, f0, g0 in quad_pre:
-                    occ = jnp.maximum(occ, quad_occ_one(coef, f0, g0, sd, max_t))
+                for i, coef, f0, g0, pd in quad_pre:
+                    t2 = dir_ref[li, i] if use_tbl else None
+                    occ = jnp.maximum(
+                        occ, quad_occ_one(coef, f0, g0, sd, max_t,
+                                          posdef=pd, unbounded=unbounded,
+                                          t2=t2)
+                    )
                 return occ
 
             if use_light_skips:
@@ -730,7 +842,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         return g[0] * inv, g[1] * inv, g[2] * inv
 
     def trace_and_shade(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
-                        ox, oy, oz, dx, dy, dz):
+                        dir_ref, ox, oy, oz, dx, dy, dz):
         hit, idx, t = nearest_hit(coefs_ref, orig_ref, ox, oy, oz, dx, dy, dz)
         px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
         sel_coef, obj_col, refl = gather_object(coefs_ref, colors_ref, refl_ref, idx)
@@ -740,7 +852,8 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         # background — its O(lights x objects) shading sweep is dead work.
         def do_shade(_):
             return shade(
-                coefs_ref, lights_ref, sel_coef, obj_col, px, py, pz, nx, ny, nz
+                coefs_ref, lights_ref, dir_ref, sel_coef, obj_col,
+                px, py, pz, nx, ny, nz
             )
 
         def no_shade(_):
@@ -753,8 +866,14 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             lit, occ_bits = do_shade(None)
         return hit, idx, refl, (px, py, pz), (nx, ny, nz), lit, (t, occ_bits)
 
-    def kernel(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref, cam_ref,
-               out_ref, *aux_refs):
+    use_dir = _use_dir_table(light_kinds)
+
+    def kernel(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref, *rest):
+        if use_dir:
+            dir_ref, cam_ref, out_ref, *aux_refs = rest
+        else:
+            dir_ref = None
+            cam_ref, out_ref, *aux_refs = rest
         # --- ray generation (reference update-cuda.cu:111-116) ---
         pid = pl.program_id(0)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
@@ -792,7 +911,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         bg = (cam_ref[14], cam_ref[15], cam_ref[16])
 
         hit, idx, refl, point, normal, lit, aux = trace_and_shade(
-            coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
+            coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref, dir_ref,
             ox, oy, oz, dx, dy, dz
         )
         result = [jnp.where(hit, lit[k], bg[k]) for k in range(3)]
@@ -837,7 +956,7 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
                     noz = pz + SHADOW_BIAS * nz
                     h2, i2, r2, p2, n2, l2, aux2 = trace_and_shade(
                         coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref,
-                        nox, noy, noz, rdx, rdy, rdz,
+                        dir_ref, nox, noy, noz, rdx, rdy, rdz,
                     )
                     bcol = [jnp.where(h2, l2[k], bg[k]) for k in range(3)]
                     result = [
@@ -910,6 +1029,35 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
     return kernel
 
 
+def _dir_form_table(coefs, lights, n_cubic: int):
+    """[L, N] frame-constant direction forms for STATIC directional lights:
+    entry (li, i) is C_i(d_li) (the pure cubic form) for cubic slots and
+    Q_i(d_li) (the quadratic form) for quadric slots, where d_li is the
+    light's stored unit direction (lights[:, 1:4]). Computed ONCE per frame
+    in XLA and shipped to the kernel as an SMEM table — re-assembling these
+    per tile was ~8k scalar-core multiplies per tile on 20spheres, the
+    many-light bottleneck (VERDICT r3 #1). Spherical-light rows are
+    computed but never read (their shadow directions are per-pixel)."""
+    comps = [lights[:, 1], lights[:, 2], lights[:, 3]]
+
+    def mono(pows):
+        out = None
+        for axis in range(3):
+            for _ in range(pows[axis]):
+                out = comps[axis] if out is None else out * comps[axis]
+        return out
+
+    cub = jnp.stack([mono(MONOMIAL_POWERS[m]) for m in range(QUAD_START)],
+                    axis=1)                                   # [L, 10]
+    quad = jnp.stack(
+        [mono(MONOMIAL_POWERS[m]) for m in range(QUAD_START, QUAD_START + 6)],
+        axis=1)                                               # [L, 6]
+    c_tbl = cub @ coefs[:, :QUAD_START].T                     # [L, N]
+    q_tbl = quad @ coefs[:, QUAD_START:QUAD_START + 6].T
+    slot_cubic = (jnp.arange(coefs.shape[0]) < n_cubic)[None, :]
+    return jnp.where(slot_cubic, c_tbl, q_tbl)
+
+
 def _pack_lights(scene: Scene):
     """[L, 7] f32: is_spherical, p(3), color(3)."""
     table = jnp.concatenate(
@@ -959,13 +1107,18 @@ def _interpret_mode() -> bool:
 # scenes (per-scene parity sweep vs the f64 oracle at 512x384: bad-pixel
 # fractions equal to 5 decimal places, dingdong marginally BETTER), and
 # shadow solves are 2/3 of all solves on the headline scene (+22% Mrays/s).
-# Env-tunable for parity sweeps; baked in at kernel trace time. Clamped to
-# >= 1: with zero Newton steps the residual-rejection test would discard most
+# Env-tunable for parity sweeps; read at KERNEL-BUILD time (like
+# TRT_TILE_SKIPS/TRT_LIGHT_SKIPS — an A/B sweep that sets the env var after
+# import must not silently no-op), baked into the trace. Clamped to >= 1:
+# with zero Newton steps the residual-rejection test would discard most
 # genuine cubic shadow roots (the analytic seeds are only seed-accurate),
 # causing widespread light leaks. Callers wanting an explicit value should
 # pass ``shadow_iters`` to ``render_image_pallas`` instead of the env var.
-_env_sp = os.environ.get("TRT_SHADOW_POLISH", "1")
-_SHADOW_POLISH_ITERS: int | None = max(1, int(_env_sp)) if _env_sp else None
+
+
+def _shadow_polish_default() -> int | None:
+    env = os.environ.get("TRT_SHADOW_POLISH", "1")
+    return max(1, int(env)) if env else None
 
 
 def _degree_partition(coefs):
@@ -982,23 +1135,45 @@ def _degree_partition(coefs):
     return perm, int(is_cubic.sum())
 
 
-# Tiny memo so the per-frame hot loop doesn't re-derive the partition (a
-# host-side np reduction over [N, 10]) for the same coefficient table.
-# Keyed on id() for zero per-frame device transfers, but each entry holds a
-# weakref to the coefs array with a removal callback: CPython reuses ids
-# after GC, so a plain id key could serve a STALE partition to a new array
-# allocated at the same address. The weakref guarantees an entry can only be
-# hit while the exact array it was computed for is still alive.
+def _quad_posdef(coefs):
+    """Per-object positive-definiteness of the quadratic form Q
+    (Sylvester's criterion on CONCRETE coefficients; every sphere
+    qualifies). A True entry licenses the statically-dead t2 <= 0 occlusion
+    branches in ``quadlin_occ_coeffs`` — only quadric-routed slots consume
+    it. Coefficient order x2,y2,z2,xy,xz,yz at columns 10-15
+    (reference include/surface.h:12-14)."""
+    cc = np.asarray(coefs, np.float64)
+    a, b, c = cc[:, 10], cc[:, 11], cc[:, 12]
+    d, e, f = cc[:, 13] / 2, cc[:, 14] / 2, cc[:, 15] / 2
+    m2 = a * b - d * d
+    m3 = (a * (b * c - f * f) - d * (d * c - f * e)
+          + e * (d * f - b * e))
+    return (a > 0) & (m2 > 0) & (m3 > 0)
+
+
+# Tiny memo so the per-frame hot loop doesn't re-derive the scene statics
+# (host-side np reductions over the coefficient table, incl. a device
+# transfer for jax arrays) for the same table. Keyed on id() for zero
+# per-frame device transfers, but each entry holds a weakref to the coefs
+# array with a removal callback: CPython reuses ids after GC, so a plain id
+# key could serve STALE statics to a new array allocated at the same
+# address. The weakref guarantees an entry can only be hit while the exact
+# array it was computed for is still alive.
 _PARTITION_CACHE: dict = {}
 
 
-def _partition_for(coefs):
+def _statics_for(coefs):
+    """(perm, n_cubic, posdef) for a CONCRETE coefficient table, memoized;
+    ``posdef`` is aligned with the PERMUTED slot order the kernel sees."""
     key = id(coefs)
     cached = _PARTITION_CACHE.get(key)
     if cached is not None and cached[0]() is coefs:
         return cached[1]
-    p, n_cubic = _degree_partition(coefs)
-    value = (tuple(int(i) for i in p), n_cubic)
+    cc = np.asarray(coefs)
+    p, n_cubic = _degree_partition(cc)
+    pd = _quad_posdef(cc)
+    value = (tuple(int(i) for i in p), n_cubic,
+             tuple(bool(pd[i]) for i in p))
     if len(_PARTITION_CACHE) > 64:
         _PARTITION_CACHE.clear()
     try:
@@ -1007,6 +1182,10 @@ def _partition_for(coefs):
         return value
     _PARTITION_CACHE[key] = (ref, value)
     return value
+
+
+def _partition_for(coefs):
+    return _statics_for(coefs)[:2]
 
 
 def _light_kinds_of(light_is_spherical) -> tuple | None:
@@ -1031,11 +1210,17 @@ def _render_pallas_raw(scene: Scene, camera: camera_ops.Camera,
     if isinstance(scene.coefs, jax.core.Tracer) or scene.n_objects == 0:
         perm = tuple(range(scene.n_objects))
         n_cubic = scene.n_objects
+        posdef = None
     else:
-        perm, n_cubic = _partition_for(scene.coefs)
+        perm, n_cubic, posdef = _statics_for(scene.coefs)
     kinds = _light_kinds_of(scene.light_is_spherical)
+    if shadow_iters is None:
+        # resolve the env default HERE (outside jit) so it becomes part of
+        # the jit cache key — a post-import env change then recompiles
+        # instead of silently hitting the stale executable
+        shadow_iters = _shadow_polish_default()
     return _render_pallas_jit(scene, camera, polish_iters, bounces,
-                              n_cubic, perm, shadow_iters, kinds)
+                              n_cubic, perm, shadow_iters, kinds, posdef)
 
 
 def _grid_geometry(width: int, rows_out: int):
@@ -1051,7 +1236,8 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
                   polish_iters: int, bounces: int, n_cubic: int,
                   save_aux: bool, shadow_iters: int | None = None,
                   rows_out: int | None = None,
-                  light_kinds: tuple | None = None):
+                  light_kinds: tuple | None = None,
+                  posdef: tuple | None = None):
     """Launch the forward kernel on packed tables -> [rows_out, W, 3] image
     (+ per-pixel (t, slot, occ-bitmask) aux when save_aux). ``height`` is the
     GLOBAL image height (sets the ndc scale); ``rows_out`` (default: height)
@@ -1063,7 +1249,7 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
     kernel = _make_kernel(
         n_objects, n_lights, width, height, polish_iters, bounces,
         n_cubic=n_cubic, save_aux=save_aux, shadow_iters=shadow_iters,
-        light_kinds=light_kinds,
+        light_kinds=light_kinds, posdef=posdef,
     )
     out_shapes = [jax.ShapeDtypeStruct((3, rows_padded, TILE_LANES), jnp.float32)]
     out_specs = [pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
@@ -1080,21 +1266,28 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
                 jax.ShapeDtypeStruct((rows_padded, TILE_LANES), jnp.int32),
             ]
             out_specs += [tile_spec, tile_spec, tile_spec]
+    operands = [coefs, orig_index, colors, refl, lights]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 20]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # orig index [N] i32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # colors [N, 3]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # refl [N]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 7]
+    ]
+    if _use_dir_table(light_kinds):
+        # frame-constant per-(light, object) direction forms, XLA-side
+        operands.append(_dir_form_table(coefs, lights, n_cubic))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    operands.append(cam)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # camera [18]
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs [N, 20]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # orig index [N] i32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # colors [N, 3]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # refl [N]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 7]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera [17]
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret_mode(),
-    )(coefs, orig_index, colors, refl, lights, cam)
+    )(*operands)
     out = outs[0]
     flat = out.reshape(3, rows_padded * TILE_LANES)[:, :n_px]
     image = jnp.transpose(flat.reshape(3, rows_out, width), (1, 2, 0))
@@ -1105,11 +1298,12 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
 
 @partial(jax.jit,
          static_argnames=("polish_iters", "bounces", "n_cubic", "perm",
-                          "shadow_iters", "light_kinds"))
+                          "shadow_iters", "light_kinds", "posdef"))
 def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
                        polish_iters: int, bounces: int, n_cubic: int,
                        perm: tuple, shadow_iters: int | None = None,
-                       light_kinds: tuple | None = None):
+                       light_kinds: tuple | None = None,
+                       posdef: tuple | None = None):
     scene32 = scene.astype(jnp.float32)
     camera32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), camera)
     # Apply the static cubics-first permutation inside jit: XLA constant-
@@ -1132,7 +1326,7 @@ def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
         return _packed_render(
             coefs, colors, refl, lights, cam,
             scene.width, scene.height, polish_iters, bounces, n_cubic, perm,
-            shadow_iters, None, light_kinds,
+            shadow_iters, None, light_kinds, posdef,
         )
     return _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
@@ -1140,6 +1334,7 @@ def _render_pallas_jit(scene: Scene, camera: camera_ops.Camera,
         width=scene.width, height=scene.height,
         polish_iters=polish_iters, bounces=bounces, n_cubic=n_cubic,
         save_aux=False, shadow_iters=shadow_iters, light_kinds=light_kinds,
+        posdef=posdef,
     )
 
 
@@ -1647,12 +1842,13 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
     return acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
                    polish_iters: int, bounces: int, n_cubic: int, perm: tuple,
                    shadow_iters: int | None = None,
                    rows_out: int | None = None,
-                   light_kinds: tuple | None = None):
+                   light_kinds: tuple | None = None,
+                   posdef: tuple | None = None):
     """Forward render on packed (permuted) tables.
 
     custom_vjp pair: forward saves per-pixel (t, slot, occlusion bits) per
@@ -1668,13 +1864,13 @@ def _packed_render(coefs, colors, refl, lights, cam, width: int, height: int,
         width=width, height=height, polish_iters=polish_iters,
         bounces=bounces, n_cubic=n_cubic, save_aux=False,
         shadow_iters=shadow_iters, rows_out=rows_out,
-        light_kinds=light_kinds,
+        light_kinds=light_kinds, posdef=posdef,
     )
 
 
 def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
                 polish_iters, bounces, n_cubic, perm, shadow_iters=None,
-                rows_out=None, light_kinds=None):
+                rows_out=None, light_kinds=None, posdef=None):
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     image, aux = _dispatch_fwd(
         coefs, orig_index, colors, refl, lights, cam,
@@ -1682,13 +1878,13 @@ def _packed_fwd(coefs, colors, refl, lights, cam, width, height,
         width=width, height=height, polish_iters=polish_iters,
         bounces=bounces, n_cubic=n_cubic, save_aux=True,
         shadow_iters=shadow_iters, rows_out=rows_out,
-        light_kinds=light_kinds,
+        light_kinds=light_kinds, posdef=posdef,
     )
     return image, (coefs, colors, refl, lights, cam, aux)
 
 
 def _packed_bwd(width, height, polish_iters, bounces, n_cubic, perm,
-                shadow_iters, rows_out, light_kinds, res, g):
+                shadow_iters, rows_out, light_kinds, posdef, res, g):
     coefs, colors, refl, lights, cam, aux = res
     n_objects = len(perm)
     n_lights = lights.shape[0]
@@ -1776,7 +1972,8 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
                        *, polish_iters: int = 3, bounces: int = 0,
                        n_cubic: int | None = None, perm: tuple | None = None,
                        shadow_iters: int | None = None,
-                       light_kinds: tuple | None = None):
+                       light_kinds: tuple | None = None,
+                       posdef: tuple | None = None):
     """Render image rows [row0, row0 + rows) with the fused kernel ->
     [rows, W, 3] f32 — the per-device body for row-sharded meshes.
 
@@ -1790,10 +1987,19 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
     when coefficients are being optimized, since a gradient step can make a
     statically-quadric object cubic. ``light_kinds`` is the static per-light
     spherical mask (compute OUTSIDE shard_map via ``light_kinds_for_scene``);
-    None falls back to the generic masked light path.
+    None falls back to the generic masked light path. ``posdef`` is the
+    static per-slot positive-definite-Q mask in PERMUTED order
+    (``posdef_for_scene``); None — required whenever coefficients are being
+    optimized, same reasoning as ``perm`` — keeps the generic occlusion
+    classifier.
 
-    Differentiable for bounces == 0 (the fused analytic backward kernel runs
-    per device; parameter-gradient psums are inserted by shard_map's AD).
+    Differentiable at any bounce count: the fused analytic backward kernel
+    (which replays the reflection chain in reverse from the saved per-stage
+    aux) runs per device, and parameter-gradient psums are inserted by
+    shard_map's AD. The only non-differentiable routing here is the
+    > 31-light / zero-object fallback below, which is forward-only in this
+    row-sharded form (``render_image_pallas`` covers those scenes via the
+    XLA-pipeline recompute VJP).
     """
     if perm is None or n_cubic is None:
         perm = tuple(range(scene.n_objects))
@@ -1815,7 +2021,7 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
         return _packed_render(
             coefs, colors, refl, lights, cam, scene.width, scene.height,
             int(polish_iters), int(bounces), n_cubic, perm, si, int(rows),
-            light_kinds,
+            light_kinds, posdef,
         )
     orig_index = jnp.asarray(np.asarray(perm, np.int32))
     return _dispatch_fwd(
@@ -1824,7 +2030,7 @@ def render_rows_pallas(scene: Scene, camera: camera_ops.Camera, row0, rows: int,
         width=scene.width, height=scene.height,
         polish_iters=int(polish_iters), bounces=int(bounces), n_cubic=n_cubic,
         save_aux=False, shadow_iters=si, rows_out=int(rows),
-        light_kinds=light_kinds,
+        light_kinds=light_kinds, posdef=posdef,
     )
 
 
@@ -1837,6 +2043,18 @@ def partition_for_scene(scene: Scene):
             "outside jit/shard_map and pass the result in"
         )
     return _partition_for(scene.coefs)
+
+
+def posdef_for_scene(scene: Scene) -> tuple:
+    """Static per-slot positive-definite-Q mask in PERMUTED slot order —
+    the occlusion-classifier companion to ``partition_for_scene``. Raises
+    under tracing."""
+    if isinstance(scene.coefs, jax.core.Tracer):
+        raise TypeError(
+            "posdef_for_scene needs concrete coefficients; call it "
+            "outside jit/shard_map and pass the result in"
+        )
+    return _statics_for(scene.coefs)[2]
 
 
 def light_kinds_for_scene(scene: Scene) -> tuple:
