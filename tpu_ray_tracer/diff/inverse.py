@@ -81,7 +81,8 @@ class InverseProblem:
 
 
 def _device_render(scene: Scene, camera, rows_local: int, config: RenderConfig,
-                   bounces: int, soft_tau: float | None = None):
+                   bounces: int, soft_tau: float | None = None,
+                   pair_kinds=None):
     """Per-device row-block render (shard_map body)."""
     idx = jax.lax.axis_index(AXIS)
     y0 = idx * rows_local
@@ -95,7 +96,7 @@ def _device_render(scene: Scene, camera, rows_local: int, config: RenderConfig,
         from .soft import render_rays_soft
         return render_rays_soft(scene, origin, dirs,
                                 polish_iters=config.polish_iters,
-                                tau=soft_tau)
+                                tau=soft_tau, pair_kinds=pair_kinds)
     return render_rays(scene, origin, dirs,
                        polish_iters=config.polish_iters, bounces=bounces)
 
@@ -127,6 +128,15 @@ def make_loss_fn(problem: InverseProblem, mesh, partition=None):
 
     if problem.soft_tau is not None and bounces != 0:
         raise ValueError("soft_tau requires a bounce-free configuration")
+    # Static per-object pair-kind routing for the soft blend: derived from
+    # the TEMPLATE (like the Pallas degree partition) so quadric-class
+    # objects keep the numerically accurate quadratic discriminant even
+    # when descent drifts their cubic entries off zero (diff/soft.py,
+    # pair_coverage docstring).
+    pair_kinds = tuple(
+        bool(x) for x in
+        (np.abs(np.asarray(problem.scene_template.coefs)[:, :10]) > 0).any(1)
+    ) if problem.soft_tau is not None else None
     # The fused Pallas fwd+bwd pair covers the reflection chain; only
     # > 31-light scenes (occlusion-bitmask width) and empty scenes must take
     # the XLA pipeline, whose gradient is plain AD. The soft-visibility
@@ -174,7 +184,7 @@ def make_loss_fn(problem: InverseProblem, mesh, partition=None):
             )
         else:
             colors = _device_render(scene, camera, rows_local, problem.config,
-                                    bounces, tau)
+                                    bounces, tau, pair_kinds=pair_kinds)
         # mask padded rows out of the squared error
         row_ids = y0 + jnp.arange(rows_local)
         valid = (row_ids < scene.height)[:, None, None]

@@ -28,16 +28,25 @@ surface coefficients. This module exploits that:
   to the hard render (continuation: anneal tau, or finish with the hard
   loss).
 
-Scope: the pair blend is driven by the pixel's selected object (exact for
-single-object scenes such as clebsch.yml — the BASELINE.json inverse
-configuration); object-vs-object occlusion boundaries and shadow booleans
-stay hard (stop-gradient), as in the main pipeline.
+Scope: the pair blend is driven by the pixel's GOVERNING object — the
+selected hit, or (for misses) the object closest to producing a pair — so
+each pixel smooths the sheet/silhouette events of the object that owns it.
+The r4 extension covers quadric objects too: their pair event is the
+quadratic discriminant crossing zero (the silhouette of a sphere or
+paraboloid), with branch B the world where the quadric contributes no
+root, which makes multi-object coefficient recoveries (e.g. a sphere
+constant term jointly with a cubic's — see
+tests/test_soft.py::test_multi_object_recovery_without_mask) descend
+without gradient masks. Cross-OBJECT occlusion boundaries (one object
+sliding in front of another) and shadow booleans stay hard
+(stop-gradient), as in the main pipeline.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.scene import Scene
 from ..ops.constants import EPS, MAX_T, SHADOW_BIAS, TWO_THIRD_PI
@@ -95,25 +104,65 @@ def _normalized_qr(t3, t2, t1, t0):
     return q, r, s, a, is_cubic
 
 
-def pair_coverage(coefs, origin, dir):
-    """Normalized cubic discriminant ``delta_n in [-1, 1]`` per
-    (ray, object): < 0 iff the cubic has three real roots (a sheet pair
-    exists), smoothly crossing 0 at pair creation/annihilation. Quadric
-    objects (t3 == 0 semantics) return +1 (no pair concept; the blend is
-    then inert for them)."""
+def pair_coverage(coefs, origin, dir, pair_kinds=None):
+    """Normalized pair discriminant ``delta_n in [-1, 1]`` per
+    (ray, object): < 0 iff a root pair exists ahead, smoothly crossing 0
+    at pair creation/annihilation.
+
+    Cubic rays use the depressed cubic's discriminant (three real roots
+    <=> a sheet pair exists). Quadric rays (r4 extension — the quadric
+    analogue of the same event) use the quadratic discriminant
+    ``t1^2 - 4 t2 t0``: its zero crossing IS the silhouette of a sphere/
+    paraboloid, where the hit pair appears or annihilates, so e.g. a
+    sphere-radius recovery gets a usable gradient across its silhouette
+    instead of a hard jump. Linear rays return +1 (a single root never
+    appears or vanishes; the blend is inert — branch B equals branch A).
+
+    ``pair_kinds`` (static per-object tuple, True = cubic-class; derive it
+    from the problem TEMPLATE like the kernel's degree partition) pins
+    which discriminant each object uses. It matters during coefficient
+    DESCENT: the moment a sphere's cubic entries drift off exact zero,
+    its rays classify as near-degenerate cubics whose normalized
+    discriminant is pure f32 cancellation noise (q^3 and r^2 cancel to
+    O(t3) for t3 -> 0) — measured in-session, that noise-signed alpha
+    destroys the optimization within ~5 Adam steps. With the static
+    routing the quadric-class object keeps the accurate quadratic
+    discriminant for the whole run. None falls back to the per-ray
+    |t3| > EPS test (fine for frozen-coefficient evaluation)."""
     t3, t2, t1, t0 = ray_poly_coeffs(coefs, origin, dir)
     q, r, _s, _a, is_cubic = _normalized_qr(t3, t2, t1, t0)
     r2 = r * r
     q3 = q * q * q
     delta_n = (r2 + q3) / (r2 + jnp.abs(q3) + 1e-30)
-    return jnp.where(is_cubic, delta_n, jnp.ones_like(delta_n))
+    # Self-referential normalization: |disc| dominates away from the event
+    # (delta -> -sign(disc), i.e. +-1), while the small coefficient-scale
+    # fraction sets the transition width. A plain coefficient-scale
+    # denominator is wrong for distant quadrics: a robust sphere hit at
+    # distance D has disc/(t1^2 + 4 t2 t0) ~ (r/D)^2/2 — delta ~ -0.03 for
+    # the bundled scenes, alpha ~ 0.55 at any useful tau, and the blend
+    # showed half background across the WHOLE sphere (measured; descent
+    # then moved both test radii in the wrong direction).
+    qdisc = t1 * t1 - 4.0 * t2 * t0
+    qscale = t1 * t1 + jnp.abs(4.0 * t2 * t0)
+    delta_q = -qdisc / (jnp.abs(qdisc) + 0.01 * qscale + 1e-30)
+    ones = jnp.ones_like(delta_n)
+    is_quad = jnp.abs(t2) > jnp.asarray(EPS, t2.dtype)
+    cubic_col = jnp.where(is_cubic, delta_n, ones)
+    quad_col = jnp.where(is_quad, delta_q, ones)
+    if pair_kinds is None:
+        return jnp.where(is_cubic, delta_n, quad_col)
+    kinds = jnp.asarray(np.asarray(pair_kinds, bool))
+    return jnp.where(kinds, cubic_col, quad_col)
 
 
-def _roots_excluding_pair(coefs, origin, dir, polish_iters: int):
-    """Per-(ray, object) root as if the cubic's merging pair had already
-    annihilated: the reference's polished-selection semantics with the two
-    pair candidates removed. For delta > 0 (and for quadric/linear objects)
-    this equals the normal selection."""
+def _roots_excluding_pair(coefs, origin, dir, polish_iters: int,
+                          pair_kinds=None):
+    """Per-(ray, object) root as if the merging pair had already
+    annihilated: cubic-class objects get the reference's polished-selection
+    semantics with the two pair candidates removed; quadric-class objects
+    contribute NO root (both of their intersections ARE the pair). For
+    delta > 0 (and for linear rays) this equals the normal selection.
+    ``pair_kinds`` routes statically per object (see ``pair_coverage``)."""
     t3, t2, t1, t0 = ray_poly_coeffs(coefs, origin, dir)
     q, r, s, a, is_cubic = _normalized_qr(t3, t2, t1, t0)
     dtype = q.dtype
@@ -167,9 +216,20 @@ def _roots_excluding_pair(coefs, origin, dir, polish_iters: int):
         cubic_root = jnp.where(take, cand, cubic_root)
     cubic_root = jnp.where(cubic_root >= big, jnp.asarray(-1.0, dtype), cubic_root)
 
-    # quadric / linear objects: identical to the normal selection
+    # quadric rays: the pair-annihilated world has NO root from this
+    # object (both intersections are the pair — r4, see pair_coverage);
+    # linear rays keep the normal selection (no pair concept)
     t_normal = intersect_all(coefs, origin, dir, polish_iters)
-    raw = jnp.where(is_cubic, cubic_root, t_normal)
+    miss = jnp.asarray(-1.0, dtype)
+    is_quad = jnp.abs(t2) > eps
+    cubic_sel = jnp.where(is_cubic, cubic_root, t_normal)
+    quad_sel = jnp.where(is_quad, miss, t_normal)
+    if pair_kinds is None:
+        raw = jnp.where(is_cubic, cubic_root,
+                        jnp.where(is_quad, miss, t_normal))
+    else:
+        kinds = jnp.asarray(np.asarray(pair_kinds, bool))
+        raw = jnp.where(kinds, cubic_sel, quad_sel)
     # Detach the selection machinery entirely; gradients reattach through
     # the implicit function theorem at the selected root.
     return _ift_root(coefs, origin, dir, jax.lax.stop_gradient(raw))
@@ -210,18 +270,23 @@ def _shade_at(scene: Scene, origin, dir, t_all, polish_iters: int):
 
 
 def render_rays_soft(scene: Scene, origin, dir, *, polish_iters: int = 3,
-                     tau: float = 0.05):
+                     tau: float = 0.05, pair_kinds=None):
     """Soft-visibility render -> [..., 3] f32 (bounce-free).
 
     alpha-blend of the normal render (branch A) and the pair-annihilated
     render (branch B), with alpha = sigmoid(-delta_n / tau) taken from the
-    pixel's governing object. Converges to the hard render as tau -> 0."""
+    pixel's governing object. Converges to the hard render as tau -> 0.
+    ``pair_kinds``: static per-object cubic-class mask (see
+    ``pair_coverage``) — pass it whenever coefficients are being
+    optimized."""
     t_a = intersect_all(scene.coefs, origin, dir, polish_iters)
-    t_b = _roots_excluding_pair(scene.coefs, origin, dir, polish_iters)
+    t_b = _roots_excluding_pair(scene.coefs, origin, dir, polish_iters,
+                                pair_kinds=pair_kinds)
     img_a, hit_a, idx_a = _shade_at(scene, origin, dir, t_a, polish_iters)
     img_b, _hit_b, _idx_b = _shade_at(scene, origin, dir, t_b, polish_iters)
 
-    delta_n = pair_coverage(scene.coefs, origin, dir)       # [..., N]
+    delta_n = pair_coverage(scene.coefs, origin, dir,
+                            pair_kinds=pair_kinds)          # [..., N]
     # governing object: the selected hit where A hits, else the object
     # closest to producing a pair (selection index is discrete: stop-grad)
     idx_gov = jnp.where(
