@@ -233,15 +233,14 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     (kernel-local analogue of ops.roots.min_positive_root, refined mode).
 
     Newton budget is screen-then-refine (r4): the five candidates are
-    screened with min(2, polish_iters) Newton steps + residual rejection,
-    the reference's min-positive selection picks the winner, and only the
-    winner receives the remaining budget. Cuts the per-object cost ~25% vs
-    polishing all five candidates with the full budget; the selected root
-    converges to the same value (Newton is applied to the same function
-    either way), so only screening boundaries can differ — a 1-step screen
-    was measured to 5x dingdong's 64x48 boundary-pixel fraction (its
-    near-degenerate cubics need 2 steps to classify), the 2-step screen is
-    parity-neutral. Gated by the full-res per-scene thresholds in
+    screened with min(2, polish_iters) Newton steps + residual rejection
+    on the cheap ASSEMBLED 1-D polynomial, the reference's min-positive
+    selection picks the winner, and only the winner is polished and
+    residual-verified against the full direct 20-monomial evaluation
+    (which also repairs assembly error in t3..t0). A 1-STEP screen was
+    measured to 5x dingdong's 64x48 boundary-pixel fraction (its
+    near-degenerate cubics need 2 steps to classify); the 2-step screen
+    is parity-neutral. Gated by the full-res per-scene thresholds in
     bench.py."""
     one = jnp.ones_like(ox)
     o_pows = _powers3(ox, oy, oz)
@@ -249,7 +248,35 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     t3, t2, t1, t0 = _ray_coeffs_scalar(coef, o_pows, d_pows, one)
 
     screen = min(2, polish_iters)
-    pol = partial(_polish, coef, ox, oy, oz, dx, dy, dz, iters=screen)
+
+    # 1-D screening on the ASSEMBLED t-polynomial (r4b): candidate
+    # screening only needs genuineness classification + ordering, so
+    # Newton runs against the 4 assembled coefficients (~8 ops/step, the
+    # same structure the shadow-occlusion path was measured parity-neutral
+    # with) instead of the direct 20-monomial evaluation (~120 ops/step).
+    # The scan winner is then polished AND residual-verified against the
+    # direct evaluation below, which also repairs assembly error in
+    # t3..t0 — so a phantom candidate born of assembly error can win the
+    # scan but never ship as a root.
+    def feval1d(t):
+        return ((t3 * t + t2) * t + t1) * t + t0
+
+    def dfeval1d(t):
+        return (3.0 * t3 * t + 2.0 * t2) * t + t1
+
+    def pol(t):
+        seed = t
+        for _ in range(screen):
+            df = dfeval1d(t)
+            ok = jnp.abs(df) > 1e-12
+            step = jnp.where(ok, feval1d(t) / jnp.where(ok, df, 1.0), 0.0)
+            t_new = t - step
+            t = jnp.where(jnp.isfinite(t_new), t_new, t)
+        at = jnp.abs(t)
+        mag = (jnp.abs(t3) * at * at * at + jnp.abs(t2) * at * at
+               + jnp.abs(t1) * at + jnp.abs(t0) + 1e-30)
+        genuine = jnp.abs(feval1d(t)) <= _RESIDUAL_TOL * mag
+        return jnp.where(genuine, t, jnp.where(seed < 0, seed, _FAKE_ROOT))
 
     is_cubic = jnp.abs(t3) > EPS
     is_quad = jnp.abs(t2) > EPS
@@ -303,25 +330,24 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     for cand in (*trig, sub_lo, sub_hi):
         take = (cand >= EPS) & (cand < cubic_root)
         cubic_root = jnp.where(take, cand, cubic_root)
-    if polish_iters > screen:
-        # refine ONLY the winner with the remaining Newton budget; its
-        # genuineness is already established by the screening residual
-        # test, so no re-rejection eval is needed. FAKE_ROOT fallbacks
-        # (rejected candidates that still won the scan — filtered by the
-        # caller's t < MAX_T cull) must stay put, not be Newton-walked.
-        refined = _polish(coef, ox, oy, oz, dx, dy, dz, cubic_root,
-                          iters=polish_iters - screen, reject=False)
-        real = cubic_root < _FAKE_ROOT
-        cubic_root = jnp.where(real, refined, cubic_root)
+    # the scan winner gets the full DIRECT-evaluation Newton budget plus
+    # the direct residual re-verification (reject=True): the 1-D screen
+    # classified genuineness against the assembled polynomial only.
+    # FAKE_ROOT fallbacks (rejected candidates that still won the scan —
+    # filtered by the caller's t < MAX_T cull) must stay put, not be
+    # Newton-walked.
+    refined = _polish(coef, ox, oy, oz, dx, dy, dz, cubic_root,
+                      iters=polish_iters, reject=True)
+    real = cubic_root < _FAKE_ROOT
+    cubic_root = jnp.where(real, refined, cubic_root)
     cubic_root = jnp.where(cubic_root >= big, -1.0, cubic_root)
 
     quad_root = jnp.where(qdisc < 0, -1.0, jnp.where(sub_lo >= EPS, sub_lo, sub_hi))
-    if polish_iters > screen:
-        # same winner-refine for the degenerate-t3 quadratic branch
-        q_ref = _polish(coef, ox, oy, oz, dx, dy, dz, quad_root,
-                        iters=polish_iters - screen, reject=False)
-        quad_root = jnp.where((qdisc >= 0) & (quad_root < _FAKE_ROOT),
-                              q_ref, quad_root)
+    # same winner-refine for the degenerate-t3 quadratic branch
+    q_ref = _polish(coef, ox, oy, oz, dx, dy, dz, quad_root,
+                    iters=polish_iters, reject=False)
+    quad_root = jnp.where((qdisc >= 0) & (quad_root < _FAKE_ROOT),
+                          q_ref, quad_root)
     lin_root = -t0 / jnp.where(is_lin, t1, one)
 
     return jnp.where(
@@ -340,8 +366,11 @@ def _solve_quadric(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     stable closed form (the same (lo, hi) mapping as the occlusion path's
     ``_stable_quad_roots``), the reference's ``lo >= EPS ? lo : hi``
     selection runs on them directly, and ONLY the selected root gets the
-    Newton budget (fixing f32 assembly error in t2/t1/t0) — halving the
-    dominant per-object cost vs polishing both roots. The selection
+    Newton budget (fixing f32 assembly error in t2/t1/t0), capped at 2
+    steps — Newton converges quadratically from the stable closed-form
+    seed, so a third step refines bits below the f32 assembly noise floor.
+    Halves the dominant per-object cost vs polishing both roots. The
+    selection
     branch can only differ from the polish-both ordering on rays where
     Newton moves ``lo`` across EPS — a measure-zero boundary gated by the
     full-res parity thresholds."""
@@ -365,7 +394,8 @@ def _solve_quadric(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     hi = jnp.where(t1 >= 0, r_c, r_q)
     sel = _polish(coef, ox, oy, oz, dx, dy, dz,
                   jnp.where(lo >= EPS, lo, hi),
-                  iters=polish_iters, m_start=QUAD_START, reject=False)
+                  iters=min(polish_iters, 2), m_start=QUAD_START,
+                  reject=False)
     quad_root = jnp.where(disc < 0, -1.0, sel)
     lin_root = -t0 / jnp.where(is_lin, t1, one)
 
