@@ -203,7 +203,10 @@ def main():
             measured[k] = float(v)
 
     import tpu_ray_tracer as trt
-    from tpu_ray_tracer.render.pallas_backend import TILE_PX, _grid_geometry
+    from tpu_ray_tracer.render.pallas_backend import (
+        TILE_LANES, _grid_geometry, _tile_rows,
+    )
+    TILE_PX = _tile_rows() * TILE_LANES
 
     peak_slots_s = VPU_SLOTS_PER_CYCLE * CLOCK_HZ
     print(f"# VPU issue roofline: {VPU_SLOTS_PER_CYCLE:.0f} slots/cycle x "

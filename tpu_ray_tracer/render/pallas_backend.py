@@ -2,8 +2,9 @@
 
 The TPU-native replacement for the reference's per-pixel CUDA kernel
 (reference: src/update-cuda.cu:104-158). Where the CUDA kernel maps one
-thread to one pixel in 8x8 blocks, this kernel maps one grid program to an
-(8, 128)-pixel tile (one VPU vreg shape): ray generation, the per-object
+thread to one pixel in 8x8 blocks, this kernel maps one grid program to a
+(rows, 128)-pixel tile — 32 rows = 4 VPU vregs per elementwise op on real
+TPUs, chosen for ILP (see ``_tile_rows``): ray generation, the per-object
 intersection loop, shadowing/shading over lights, and the reflection chain
 all execute inside a single kernel — the only HBM traffic is the final
 framebuffer write. Scene tables (<= a few KB) live in SMEM and are read as
@@ -33,6 +34,7 @@ forward defaults to shadow_iters=1 — see ``render_image_pallas``).
 from __future__ import annotations
 
 import math
+import os
 import weakref
 from functools import partial
 
@@ -49,9 +51,25 @@ from ..ops.constants import EPS, MAX_T, SHADOW_BIAS, TWO_THIRD_PI
 from ..ops.poly import _EXPANSION
 from ..render import pipeline as xla_pipeline
 
-TILE_ROWS = 8
 TILE_LANES = 128
-TILE_PX = TILE_ROWS * TILE_LANES
+
+
+def _tile_rows() -> int:
+    """Pixel-tile height per grid step: the tile is (rows, 128). 8 rows =
+    one (8, 128) f32 vreg per elementwise op; taller tiles make each op
+    span multiple vregs, which multiplies the independent dependency
+    chains in flight. The kernels are ILP-bound, not issue-bound (deep
+    serial Newton chains — docs/performance.md "Roofline"), so this is a
+    large lever: measured 2026-08-21 per-scene at 8 -> 32 rows, dingdong
+    414 -> 554 Mrays/s, 20spheres 152 -> 224, quadratic 599 -> 789,
+    monkey_saddle 332 -> 387. Default 32 on real TPUs; the CPU
+    interpreter keeps 8 (throughput is irrelevant there and XLA:CPU
+    compile cost grows with vector width). TRT_TILE_ROWS overrides for
+    sweeps — resolved at kernel-build time, so it shapes the trace."""
+    env = os.environ.get("TRT_TILE_ROWS")
+    if env:
+        return int(env)
+    return 8 if jax.default_backend() == "cpu" else 32
 
 _FAKE_ROOT = 2e6
 _RESIDUAL_TOL = 1e-5
@@ -897,6 +915,8 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
         return hit, idx, refl, (px, py, pz), (nx, ny, nz), lit, (t, occ_bits)
 
     use_dir = _use_dir_table(light_kinds)
+    tile_rows = _tile_rows()
+    tile_px = tile_rows * TILE_LANES
 
     def kernel(coefs_ref, orig_ref, colors_ref, refl_ref, lights_ref, *rest):
         if use_dir:
@@ -906,9 +926,9 @@ def _make_kernel(n_objects: int, n_lights: int, width: int, height: int,
             cam_ref, out_ref, *aux_refs = rest
         # --- ray generation (reference update-cuda.cu:111-116) ---
         pid = pl.program_id(0)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
-        pixel = pid * TILE_PX + row_ids * TILE_LANES + lane_ids
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TILE_LANES), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TILE_LANES), 1)
+        pixel = pid * tile_px + row_ids * TILE_LANES + lane_ids
         # row0 (cam_ref[17]) offsets this call's pixel rows into the full
         # image: under row-sharded meshes each device renders rows
         # [row0, row0 + rows_out) of the SAME global frame, so ndc_y below
@@ -1257,8 +1277,9 @@ def _grid_geometry(width: int, rows_out: int):
     """Tile count for rendering ``rows_out`` image rows of width ``width``
     (the full frame, or one device's row block under a sharded mesh)."""
     n_px = rows_out * width
-    n_tiles = -(-n_px // TILE_PX)
-    return n_px, n_tiles, n_tiles * TILE_ROWS
+    tile_rows = _tile_rows()
+    n_tiles = -(-n_px // (tile_rows * TILE_LANES))
+    return n_px, n_tiles, n_tiles * tile_rows
 
 
 def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
@@ -1281,11 +1302,12 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
         n_cubic=n_cubic, save_aux=save_aux, shadow_iters=shadow_iters,
         light_kinds=light_kinds, posdef=posdef,
     )
+    tile_rows = _tile_rows()
     out_shapes = [jax.ShapeDtypeStruct((3, rows_padded, TILE_LANES), jnp.float32)]
-    out_specs = [pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
+    out_specs = [pl.BlockSpec((3, tile_rows, TILE_LANES), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)]
     if save_aux:
-        tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+        tile_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
         # one (t, slot, occ-bitmask) triple per chain stage: the primary hit
         # plus each reflection bounce
@@ -1459,6 +1481,8 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
         _acc_layout(n_objects, n_lights)
     )
     n_stages = bounces + 1
+    tile_rows = _tile_rows()
+    tile_px = tile_rows * TILE_LANES
 
     def kernel(coefs_ref, colors_ref, refl_ref, lights_ref, cam_ref,
                g_ref, *rest):
@@ -1476,9 +1500,9 @@ def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
             contrib[row] = field if row not in contrib else contrib[row] + field
 
         # --- regenerate the primary ray (identical math to the forward) ---
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
-        pixel = pid * TILE_PX + row_ids * TILE_LANES + lane_ids
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TILE_LANES), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TILE_LANES), 1)
+        pixel = pid * tile_px + row_ids * TILE_LANES + lane_ids
         pix_y_local = pixel // width
         pix_x = pixel - pix_y_local * width
         pix_y = pix_y_local + cam_ref[17].astype(jnp.int32)
@@ -1848,7 +1872,8 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
     kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height,
                                           bounces=bounces,
                                           light_kinds=light_kinds)
-    tile_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+    tile_rows = _tile_rows()
+    tile_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
         kernel,
@@ -1859,13 +1884,13 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # refl [N]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 7]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # camera [18]
-            pl.BlockSpec((3, TILE_ROWS, TILE_LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, tile_rows, TILE_LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),  # cotangent
         ] + [tile_spec] * len(aux),                 # (t, slot, occ) per stage
-        out_specs=pl.BlockSpec((total_rows, TILE_ROWS, TILE_LANES),
+        out_specs=pl.BlockSpec((total_rows, tile_rows, TILE_LANES),
                                lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total_rows, TILE_ROWS, TILE_LANES),
+        out_shape=jax.ShapeDtypeStruct((total_rows, tile_rows, TILE_LANES),
                                        jnp.float32),
         interpret=_interpret_mode(),
     )(coefs, colors, refl, lights, cam, g_tiles, *aux)
