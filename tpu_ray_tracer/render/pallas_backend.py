@@ -62,7 +62,8 @@ def _tile_rows() -> int:
     serial Newton chains — docs/performance.md "Roofline"), so this is a
     large lever: measured 2026-08-21 per-scene at 8 -> 32 rows, dingdong
     414 -> 554 Mrays/s, 20spheres 152 -> 224, quadratic 599 -> 789,
-    monkey_saddle 332 -> 387. Default 32 on real TPUs; the CPU
+    monkey_saddle 332 -> 387; 64 rows regresses (dingdong -10%,
+    presumably VMEM pressure / scheduling). Default 32 on real TPUs; the CPU
     interpreter keeps 8 (throughput is irrelevant there and XLA:CPU
     compile cost grows with vector width). TRT_TILE_ROWS overrides for
     sweeps — resolved at kernel-build time, so it shapes the trace."""
