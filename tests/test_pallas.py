@@ -241,10 +241,10 @@ def test_shadow_polish_env_read_post_import(jaxmod, monkeypatch):
     orig = pb._render_pallas_jit
 
     def spy(scene, camera, polish_iters, bounces, n_cubic, perm,
-            shadow_iters=None, light_kinds=None, posdef=None):
+            shadow_iters=None, light_kinds=None, posdef=None, knobs=None):
         captured.append(shadow_iters)
         return orig(scene, camera, polish_iters, bounces, n_cubic, perm,
-                    shadow_iters, light_kinds, posdef)
+                    shadow_iters, light_kinds, posdef, knobs)
 
     monkeypatch.setattr(pb, "_render_pallas_jit", spy)
     scene = dataclasses.replace(

@@ -342,7 +342,11 @@ def test_weak_scaling_sharded_overhead_bounded(jaxmod):
     t_sharded = time_best(
         lambda: render_image_sharded(scene, camera, mesh, config,
                                      backend="xla"))
-    assert t_sharded <= 2.0 * t_single + 0.05, (
+    # generous slack: 8 virtual devices time-slice 2 physical cores, so
+    # scheduler noise is real; the pathologies this guards against are
+    # categorical (the retrace-per-call bug it originally caught measured
+    # 40-230x, full serialization would be ~8x)
+    assert t_sharded <= 3.0 * t_single + 0.1, (
         f"sharded render {t_sharded:.3f}s vs single-device {t_single:.3f}s "
         f"— shard_map is adding serialization overhead"
     )

@@ -86,9 +86,10 @@ def render_image_sharded(scene: Scene, camera: camera_ops.Camera, mesh: Mesh,
     # frame (and closing over the camera would bake it in as a constant,
     # defeating the cache for moving cameras — found via the weak-scaling
     # sanity test, r4).
+    from ..render.pallas_backend import _knobs_key
     key = (mesh, backend, rows_local, height_padded, scene.width,
            scene.height, bounces, config.polish_iters, str(dtype),
-           perm, n_cubic, kinds, posdef)
+           perm, n_cubic, kinds, posdef, _knobs_key())
     fn = _SHARD_RENDER_CACHE.get(key)
     if fn is None:
         def device_program(scene_local: Scene, camera):
