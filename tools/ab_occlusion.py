@@ -2,7 +2,9 @@
 
 Configs (all in ONE process — relay wall-clock varies +-20% between
 processes, so cross-process A/Bs of <25% deltas are noise):
-  base   — r3-equivalent kernel: generic classifier, no direction table
+  base   — generic occlusion classifier, no direction table (the r4
+           solver restructures and tile height are NOT disabled here;
+           set TRT_TILE_ROWS=8 for a closer r3 baseline)
   posdef — + static positive-definite-Q specialization
   table  — + precomputed per-(light, object) direction-form SMEM table
 
