@@ -286,6 +286,39 @@ def test_shadow_polish_env_read_post_import(jaxmod, monkeypatch):
     assert np.isfinite(a).all() and np.isfinite(b).all()
 
 
+def test_knobs_key_covers_shadow_polish(monkeypatch):
+    """The sharded render cache keys on _knobs_key(); TRT_SHADOW_POLISH is
+    resolved at trace time inside the cached shard_map executable, so the
+    key must move when the env var does (ADVICE r4, medium)."""
+    from tpu_ray_tracer.render import pallas_backend as pb
+
+    monkeypatch.setenv("TRT_SHADOW_POLISH", "1")
+    k1 = pb._knobs_key()
+    monkeypatch.setenv("TRT_SHADOW_POLISH", "3")
+    k2 = pb._knobs_key()
+    assert k1 != k2
+
+
+def test_tile_rows_env_validation(monkeypatch):
+    """TRT_TILE_ROWS must fail fast with a descriptive error instead of an
+    obscure Mosaic/BlockSpec failure deep in tracing (ADVICE r4)."""
+    import pytest as _pytest
+
+    from tpu_ray_tracer.render import pallas_backend as pb
+
+    monkeypatch.setenv("TRT_TILE_ROWS", "banana")
+    with _pytest.raises(ValueError, match="TRT_TILE_ROWS"):
+        pb._tile_rows()
+    monkeypatch.setenv("TRT_TILE_ROWS", "12")
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        pb._tile_rows()
+    monkeypatch.setenv("TRT_TILE_ROWS", "-8")
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        pb._tile_rows()
+    monkeypatch.setenv("TRT_TILE_ROWS", "16")
+    assert pb._tile_rows() == 16
+
+
 def test_pallas_gradient_with_reflections(jaxmod):
     """With bounces > 0 the backward is the fused analytic kernel replaying
     the reflection chain in reverse; the gradient must stay finite and

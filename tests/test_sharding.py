@@ -296,6 +296,7 @@ def test_partitioned_routing_grads_match_all_cubic(jaxmod):
     assert np.abs(grads["partitioned"][:, :10]).max() > 0
 
 
+@pytest.mark.slow
 def test_weak_scaling_sharded_overhead_bounded(jaxmod):
     """Weak-scaling sanity on the virtual mesh (VERDICT r3 #7): rendering
     the SAME total pixel load sharded over 8 virtual devices must not cost
@@ -304,10 +305,10 @@ def test_weak_scaling_sharded_overhead_bounded(jaxmod):
     FLATNESS (the real weak-scaling curve) is unmeasurable here — what is
     measurable is that shard_map adds no serialization or collective
     overhead at fixed total work: both programs do identical arithmetic,
-    and the sharded one is allowed a generous 2x slack for scheduling
-    noise. On real multi-chip meshes the per-device work is 1/8th of this,
-    with the only collective being the (tiny) parameter-gradient psum —
-    see docs/performance.md "Scaling & communication volume"."""
+    and the sharded one is allowed 3x slack for scheduling noise (the
+    pathologies this guards against are categorical, 8x+ — see the assert
+    comment). Wall-clock asserts are flake-prone on a loaded 2-core CI
+    host, hence the slow mark (ADVICE r4)."""
     import time
 
     jax, jnp = jaxmod

@@ -104,7 +104,8 @@ def _normalized_qr(t3, t2, t1, t0):
     return q, r, s, a, is_cubic
 
 
-def pair_coverage(coefs, origin, dir, pair_kinds=None):
+def pair_coverage(coefs, origin, dir, pair_kinds=None,
+                  quad_width: float = 0.01):
     """Normalized pair discriminant ``delta_n in [-1, 1]`` per
     (ray, object): < 0 iff a root pair exists ahead, smoothly crossing 0
     at pair creation/annihilation.
@@ -128,7 +129,17 @@ def pair_coverage(coefs, origin, dir, pair_kinds=None):
     destroys the optimization within ~5 Adam steps. With the static
     routing the quadric-class object keeps the accurate quadratic
     discriminant for the whole run. None falls back to the per-ray
-    |t3| > EPS test (fine for frozen-coefficient evaluation)."""
+    |t3| > EPS test (fine for frozen-coefficient evaluation).
+
+    ``quad_width`` sets the quadric transition width as a fraction of the
+    coefficient scale (the 0.01*qscale term below). The default is tuned
+    to the bundled scenes' distance/radius ratios: for a sphere of radius
+    r at distance D the on-sphere discriminant fraction is ~(r/D)^2/2,
+    so once D/r exceeds ~30 the knee falls below disc/qscale, delta_q
+    saturates toward 0 over the whole sphere, and the blend leaks a
+    visible fraction of branch B (object deleted) at any useful tau.
+    Large-scene inverse problems should shrink ``quad_width`` (roughly
+    (r/D)^2/20) rather than raise tau (ADVICE r4)."""
     t3, t2, t1, t0 = ray_poly_coeffs(coefs, origin, dir)
     q, r, _s, _a, is_cubic = _normalized_qr(t3, t2, t1, t0)
     r2 = r * r
@@ -144,7 +155,7 @@ def pair_coverage(coefs, origin, dir, pair_kinds=None):
     # then moved both test radii in the wrong direction).
     qdisc = t1 * t1 - 4.0 * t2 * t0
     qscale = t1 * t1 + jnp.abs(4.0 * t2 * t0)
-    delta_q = -qdisc / (jnp.abs(qdisc) + 0.01 * qscale + 1e-30)
+    delta_q = -qdisc / (jnp.abs(qdisc) + quad_width * qscale + 1e-30)
     ones = jnp.ones_like(delta_n)
     is_quad = jnp.abs(t2) > jnp.asarray(EPS, t2.dtype)
     cubic_col = jnp.where(is_cubic, delta_n, ones)
@@ -270,7 +281,8 @@ def _shade_at(scene: Scene, origin, dir, t_all, polish_iters: int):
 
 
 def render_rays_soft(scene: Scene, origin, dir, *, polish_iters: int = 3,
-                     tau: float = 0.05, pair_kinds=None):
+                     tau: float = 0.05, pair_kinds=None,
+                     quad_width: float = 0.01):
     """Soft-visibility render -> [..., 3] f32 (bounce-free).
 
     alpha-blend of the normal render (branch A) and the pair-annihilated
@@ -278,7 +290,9 @@ def render_rays_soft(scene: Scene, origin, dir, *, polish_iters: int = 3,
     pixel's governing object. Converges to the hard render as tau -> 0.
     ``pair_kinds``: static per-object cubic-class mask (see
     ``pair_coverage``) — pass it whenever coefficients are being
-    optimized."""
+    optimized. ``quad_width``: quadric silhouette transition width; the
+    default assumes bundled-scene distance/radius ratios (see
+    ``pair_coverage`` for the scaling rule on larger scenes)."""
     t_a = intersect_all(scene.coefs, origin, dir, polish_iters)
     t_b = _roots_excluding_pair(scene.coefs, origin, dir, polish_iters,
                                 pair_kinds=pair_kinds)
@@ -286,7 +300,8 @@ def render_rays_soft(scene: Scene, origin, dir, *, polish_iters: int = 3,
     img_b, _hit_b, _idx_b = _shade_at(scene, origin, dir, t_b, polish_iters)
 
     delta_n = pair_coverage(scene.coefs, origin, dir,
-                            pair_kinds=pair_kinds)          # [..., N]
+                            pair_kinds=pair_kinds,
+                            quad_width=quad_width)          # [..., N]
     # governing object: the selected hit where A hits, else the object
     # closest to producing a pair (selection index is discrete: stop-grad)
     idx_gov = jnp.where(

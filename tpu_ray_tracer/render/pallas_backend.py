@@ -69,7 +69,20 @@ def _tile_rows() -> int:
     sweeps — resolved at kernel-build time, so it shapes the trace."""
     env = os.environ.get("TRT_TILE_ROWS")
     if env:
-        return int(env)
+        try:
+            rows = int(env)
+        except ValueError:
+            raise ValueError(
+                f"TRT_TILE_ROWS={env!r} is not an integer; expected a "
+                "positive multiple of 8 (the TPU sublane count)"
+            ) from None
+        if rows <= 0 or rows % 8:
+            raise ValueError(
+                f"TRT_TILE_ROWS={rows} must be a positive multiple of 8 "
+                "(the TPU sublane count) — other values produce obscure "
+                "Mosaic/BlockSpec failures deep in tracing"
+            )
+        return rows
     return 8 if jax.default_backend() == "cpu" else 32
 
 _FAKE_ROOT = 2e6
@@ -464,6 +477,13 @@ def _knobs_key() -> tuple:
             os.environ.get("TRT_DIR_TABLE", "1"),
             os.environ.get("TRT_TILE_SKIPS", "1"),
             os.environ.get("TRT_LIGHT_SKIPS"),
+            # shadow-polish default: _render_pallas_raw resolves it outside
+            # jit and passes it explicitly, but the SHARDED path's cached
+            # shard_map executable (parallel/sharding.py) resolves it at
+            # trace time inside _make_kernel — without this entry a
+            # post-import env flip would silently serve the stale sharded
+            # executable (ADVICE r4, medium)
+            os.environ.get("TRT_SHADOW_POLISH", "1"),
             _interpret_mode())
 
 
