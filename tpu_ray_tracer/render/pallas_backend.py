@@ -1328,6 +1328,17 @@ def _grid_geometry(width: int, rows_out: int):
     return n_px, n_tiles, n_tiles * tile_rows
 
 
+def _pad_empty(table, n_static: int):
+    """One dummy row for empty tables: pallas_call rejects zero-size blocks
+    (ZeroDivisionError in block padding), but the kernels' unrolled loops
+    run over the STATIC object/light counts, so a padding row is never
+    read. Keeps 0-light and 0-object scenes (legal inputs — the reference
+    tolerates empty sequences, src/scene.cpp:169-170) on the kernel path."""
+    if n_static == 0:
+        return jnp.zeros((1,) + table.shape[1:], table.dtype)
+    return table
+
+
 def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
                   n_objects: int, n_lights: int, width: int, height: int,
                   polish_iters: int, bounces: int, n_cubic: int,
@@ -1342,6 +1353,11 @@ def _dispatch_fwd(coefs, orig_index, colors, refl, lights, cam, *,
     packed into cam[17]."""
     if rows_out is None:
         rows_out = height
+    coefs = _pad_empty(coefs, n_objects)
+    orig_index = _pad_empty(orig_index, n_objects)
+    colors = _pad_empty(colors, n_objects)
+    refl = _pad_empty(refl, n_objects)
+    lights = _pad_empty(lights, n_lights)
     n_px, n_tiles, rows_padded = _grid_geometry(width, rows_out)
     kernel = _make_kernel(
         n_objects, n_lights, width, height, polish_iters, bounces,
@@ -1915,6 +1931,10 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
     3 * (bounces + 1) arrays."""
     if rows_out is None:
         rows_out = height
+    coefs = _pad_empty(coefs, n_objects)
+    colors = _pad_empty(colors, n_objects)
+    refl = _pad_empty(refl, n_objects)
+    lights = _pad_empty(lights, n_lights)
     _, n_tiles, _ = _grid_geometry(width, rows_out)
     kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height,
                                           bounces=bounces,

@@ -129,6 +129,14 @@ def render_rays(scene: Scene, origin, dir, *, polish_iters: int, bounces: int):
     reference's at-cap background blend (update-cpu.cpp:98-101) is applied
     after the unrolled loop.
     """
+    if scene.n_objects == 0:
+        # Every ray misses (legal input: the reference tolerates an empty
+        # objects sequence, src/scene.cpp:169-170); argmin over a zero-size
+        # object axis would fail, so short-circuit to the background —
+        # differentiably w.r.t. bg_color, with zero cotangent to the
+        # (empty) object tables and lights.
+        bg = scene.bg_color.astype(jnp.float32)
+        return jnp.broadcast_to(bg, origin.shape[:-1] + (3,))
     res = trace_and_shade(scene, origin, dir, polish_iters)
     bg = scene.bg_color.astype(jnp.float32)
     result = jnp.where(res.hit[..., None], res.lit_color, bg)
