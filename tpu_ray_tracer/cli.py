@@ -238,13 +238,33 @@ def cmd_fit(args) -> int:
         mesh = make_mesh()
     camera = None
 
+    # --pose sets the camera the target is rendered at (and the fixed render
+    # camera for scene-parameter fits); default is the reference initial pose
+    if args.pose:
+        import jax.numpy as jnp
+
+        from . import Camera
+
+        true_cam = Camera(
+            position=jnp.asarray(args.pose[:3], jnp.float32),
+            yaw_deg=jnp.asarray(args.pose[3], jnp.float32),
+            pitch_deg=jnp.asarray(args.pose[4], jnp.float32),
+        )
+    else:
+        true_cam = _default_camera()
     if args.target:
         target = np.load(args.target)
     else:
         # self-recovery: target = render of the unperturbed scene
-        target = render_image_sharded(scene, _default_camera(), mesh, config)
+        target = render_image_sharded(scene, true_cam, mesh, config)
 
-    perturbed = _perturb_scene(scene, args.params.split(","), args.perturb)
+    fields = args.params.split(",")
+    perturbed = _perturb_scene(scene, fields, args.perturb)
+    camera = true_cam
+    if "camera" in fields:
+        # pose recovery: start from a perturbed pose; the target above was
+        # rendered at ``true_cam``, which descent must recover
+        camera = _perturbed_camera(true_cam, args.pose_perturb)
     backend = args.backend
     if backend == "numpy":
         # render/bench/view honor --backend numpy; fit cannot (the NumPy
@@ -266,7 +286,7 @@ def cmd_fit(args) -> int:
     problem = InverseProblem(
         scene_template=perturbed,
         config=config,
-        param_fields=tuple(args.params.split(",")),
+        param_fields=tuple(fields),
         learning_rate=args.lr,
         soft_tau=args.soft_tau,
         backend=backend,
@@ -275,13 +295,26 @@ def cmd_fit(args) -> int:
 
     log = print if jax.process_index() == 0 else (lambda *a, **k: None)
     params, losses = fit(
-        problem, target, steps=args.steps, mesh=mesh,
+        problem, target, camera=camera, steps=args.steps, mesh=mesh,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         print_fn=log,
         tau_final=args.soft_tau_final,
     )
     log(f"loss: {losses[0]:.3e} -> {losses[-1]:.3e} over {len(losses)} steps")
+    if "camera" in params:
+        cam = params["camera"]
+        pos = np.asarray(cam.position)
+        if args.target:
+            hint = ""
+        else:
+            tp = np.asarray(true_cam.position)
+            hint = (f" (self-recovery truth: ({tp[0]:g}, {tp[1]:g}, {tp[2]:g}),"
+                    f" {float(np.asarray(true_cam.yaw_deg)):g},"
+                    f" {float(np.asarray(true_cam.pitch_deg)):g})")
+        log(f"recovered pose: position ({pos[0]:.4f}, {pos[1]:.4f}, "
+            f"{pos[2]:.4f}), yaw {float(np.asarray(cam.yaw_deg)):.3f} deg, "
+            f"pitch {float(np.asarray(cam.pitch_deg)):.3f} deg{hint}")
     return 0
 
 
@@ -297,6 +330,8 @@ def _perturb_scene(scene, fields, factor):
 
     updates = {}
     for field in fields:
+        if field == "camera":
+            continue  # pose perturbation is handled by _perturbed_camera
         value = np.asarray(getattr(scene, field))
         if field == "coefs":
             value = value.copy()
@@ -305,6 +340,24 @@ def _perturb_scene(scene, fields, factor):
             value = value * factor
         updates[field] = value
     return dataclasses.replace(scene, **updates)
+
+
+def _perturbed_camera(base, pose_perturb_deg: float):
+    """Initial pose guess for camera recovery: ``base`` offset by
+    ``pose_perturb_deg`` in yaw (half of it in pitch) and a proportional
+    position shift — the self-recovery analogue of _perturb_scene."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    d = float(pose_perturb_deg)
+    return dataclasses.replace(
+        base,
+        position=base.position + jnp.asarray(
+            [0.02 * d, -0.02 * d, 0.01 * d], jnp.float32),
+        yaw_deg=base.yaw_deg + d,
+        pitch_deg=base.pitch_deg - 0.5 * d,
+    )
 
 
 def _default_camera():
@@ -424,7 +477,12 @@ def main(argv=None) -> int:
     p.add_argument("--perturb", type=float, default=0.6,
                    help="light-intensity perturbation factor to recover from")
     p.add_argument("--params", default="light_color",
-                   help="comma-separated scene fields to optimize")
+                   help="comma-separated scene fields to optimize; the "
+                        "pseudo-field 'camera' optimizes the camera pose "
+                        "(position/yaw/pitch) itself")
+    p.add_argument("--pose-perturb", type=float, default=3.0,
+                   help="initial pose offset in degrees for --params camera "
+                        "self-recovery (plus a proportional position shift)")
     p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--distributed", action="store_true",

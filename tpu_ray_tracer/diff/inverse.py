@@ -37,14 +37,35 @@ from ..render.pipeline import RenderConfig, render_rays, resolve_bounces
 DEFAULT_PARAM_FIELDS = ("coefs", "light_color")
 
 
-def extract_params(scene: Scene, fields=DEFAULT_PARAM_FIELDS) -> dict:
-    """Pull the optimizable leaves out of a scene."""
-    return {name: getattr(scene, name) for name in fields}
+def extract_params(scene: Scene, fields=DEFAULT_PARAM_FIELDS,
+                   camera=None) -> dict:
+    """Pull the optimizable leaves out of a scene.
+
+    The pseudo-field ``"camera"`` optimizes the camera pose itself (the
+    ``Camera`` pytree — position, yaw, pitch) rather than a Scene table:
+    the reference's fly camera IS a pose (src/ray-tracer.cpp:24-58), and
+    the fused backward kernel already emits full camera cotangents
+    (``_packed_bwd`` dcam rows 0-16), so pose estimation is a first-class
+    inverse problem. Pass the initial-guess ``camera`` when requesting it."""
+    params = {}
+    for name in fields:
+        if name == "camera":
+            if camera is None:
+                raise ValueError(
+                    "param field 'camera' needs an initial pose: pass "
+                    "camera= to extract_params/fit")
+            params["camera"] = camera
+        else:
+            params[name] = getattr(scene, name)
+    return params
 
 
 def apply_params(scene: Scene, params: dict) -> Scene:
-    """Graft optimized leaves back onto a scene template."""
-    return dataclasses.replace(scene, **params)
+    """Graft optimized leaves back onto a scene template (the ``camera``
+    pseudo-field is not a Scene table and is skipped — the render path
+    consumes it directly)."""
+    updates = {k: v for k, v in params.items() if k != "camera"}
+    return dataclasses.replace(scene, **updates)
 
 
 # --- training step ---
@@ -172,6 +193,10 @@ def make_loss_fn(problem: InverseProblem, mesh, partition=None):
 
     def device_loss(params, camera, target_local, tau=None):
         scene = apply_params(template, params)
+        # pose optimization: the optimized camera overrides the fixed one
+        # (gradients chain through _pack_camera -> camera_frame to
+        # (position, yaw, pitch) cotangents automatically)
+        camera = params.get("camera", camera)
         idx = jax.lax.axis_index(AXIS)
         y0 = idx * rows_local
         if use_pallas:
@@ -295,7 +320,7 @@ def fit(problem: InverseProblem, target, camera=None, steps: int = 200,
     camera = jax.tree.map(lambda x: jnp.asarray(x, problem.config.dtype), camera)
 
     params = extract_params(problem.scene_template.astype(problem.config.dtype),
-                            problem.param_fields)
+                            problem.param_fields, camera=camera)
     optimizer = problem.optimizer()
     opt_state = optimizer.init(params)
     step0 = 0
@@ -366,10 +391,14 @@ def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         items = tree.items()
+    elif isinstance(tree, (list, tuple)) and hasattr(tree, "_fields"):
+        items = zip(tree._fields, tree)  # namedtuple (optax states)
     elif isinstance(tree, (list, tuple)):
         items = ((str(i), v) for i, v in enumerate(tree))
-    elif hasattr(tree, "_fields"):  # namedtuple (optax states)
-        items = zip(tree._fields, tree)
+    elif dataclasses.is_dataclass(tree) and not isinstance(tree, type):
+        # dataclass pytrees (e.g. the Camera pose param)
+        items = ((f.name, getattr(tree, f.name))
+                 for f in dataclasses.fields(tree))
     else:
         out[prefix.rstrip("/")] = np.asarray(tree)
         return out
@@ -409,6 +438,11 @@ def load_checkpoint(path, params_like, opt_like):
                                 for k, v in zip(tree._fields, tree)))
         if isinstance(tree, (list, tuple)):
             return type(tree)(rebuild(v, f"{prefix}{i}/") for i, v in enumerate(tree))
+        if dataclasses.is_dataclass(tree) and not isinstance(tree, type):
+            return type(tree)(**{
+                f.name: rebuild(getattr(tree, f.name), f"{prefix}{f.name}/")
+                for f in dataclasses.fields(tree)
+            })
         key = prefix.rstrip("/")
         return jnp.asarray(data[key]) if key in data else tree
 
