@@ -265,7 +265,8 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     (kernel-local analogue of ops.roots.min_positive_root, refined mode).
 
     Newton budget is screen-then-refine (r4): the five candidates are
-    screened with min(2, polish_iters) Newton steps + residual rejection
+    screened with min(TRT_SCREEN_ITERS (default 3), polish_iters) Newton
+    steps + residual rejection
     on the cheap ASSEMBLED 1-D polynomial, the reference's min-positive
     selection picks the winner, and only the winner is polished and
     residual-verified against the full direct 20-monomial evaluation
@@ -279,7 +280,7 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     d_pows = _powers3(dx, dy, dz)
     t3, t2, t1, t0 = _ray_coeffs_scalar(coef, o_pows, d_pows, one)
 
-    screen = min(2, polish_iters)
+    screen = min(_screen_iters_default(), polish_iters)
 
     # 1-D screening on the ASSEMBLED t-polynomial (r4b): candidate
     # screening only needs genuineness classification + ordering, so
@@ -484,6 +485,7 @@ def _knobs_key() -> tuple:
             # post-import env flip would silently serve the stale sharded
             # executable (ADVICE r4, medium)
             os.environ.get("TRT_SHADOW_POLISH", "1"),
+            os.environ.get("TRT_SCREEN_ITERS", "3"),
             _interpret_mode())
 
 
@@ -1147,8 +1149,17 @@ def _dir_form_table(coefs, lights, n_cubic: int):
     quad = jnp.stack(
         [mono(MONOMIAL_POWERS[m]) for m in range(QUAD_START, QUAD_START + 6)],
         axis=1)                                               # [L, 6]
-    c_tbl = cub @ coefs[:, :QUAD_START].T                     # [L, N]
-    q_tbl = quad @ coefs[:, QUAD_START:QUAD_START + 6].T
+    # Precision.HIGHEST is load-bearing: TPU matmuls default to bf16 MXU
+    # inputs, and these table entries feed knife-edge occlusion sign tests.
+    # Measured (r5, 20spheres full res): with the default precision the
+    # table's ~1e-3 relative error flips 499 penumbra pixels vs the f64
+    # oracle (bad-px 1.04e-3); exact f32 matches the constant-folded value
+    # bench.py's outer jit produced all along (bad-px 1.7e-5). The table
+    # is [L,10]@[10,N] once per frame — cost is nil.
+    hi = jax.lax.Precision.HIGHEST
+    c_tbl = jnp.matmul(cub, coefs[:, :QUAD_START].T, precision=hi)  # [L, N]
+    q_tbl = jnp.matmul(quad, coefs[:, QUAD_START:QUAD_START + 6].T,
+                       precision=hi)
     slot_cubic = (jnp.arange(coefs.shape[0]) < n_cubic)[None, :]
     return jnp.where(slot_cubic, c_tbl, q_tbl)
 
@@ -1214,6 +1225,19 @@ def _interpret_mode() -> bool:
 def _shadow_polish_default() -> int | None:
     env = os.environ.get("TRT_SHADOW_POLISH", "1")
     return max(1, int(env)) if env else None
+
+
+def _screen_iters_default() -> int:
+    """Newton steps for the 1-D candidate screen in ``_solve_object``.
+    Read at kernel-build time and part of _knobs_key, so post-import flips
+    recompile. Default 3: the r5 parity-attribution sweep showed the r4
+    0.0016 -> 0.0025 dingdong bad-px drift lived ENTIRELY in the 2-step
+    screen (every env-knobbed lever was bit-identical), and a third 1-D
+    Newton step recovers it past the r3 value — measured full-res
+    dingdong 0.002471 -> 0.001335 at NO throughput cost (1.674 vs
+    1.677 ms; the 1-D step is ~8 vector ops against a kernel of
+    thousands). 1 was measured in r4 to 5x the boundary pixels."""
+    return max(1, int(os.environ.get("TRT_SCREEN_ITERS", "3")))
 
 
 def _degree_partition(coefs):
