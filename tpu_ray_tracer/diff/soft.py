@@ -37,9 +37,16 @@ paraboloid), with branch B the world where the quadric contributes no
 root, which makes multi-object coefficient recoveries (e.g. a sphere
 constant term jointly with a cubic's — see
 tests/test_soft.py::test_multi_object_recovery_without_mask) descend
-without gradient masks. Cross-OBJECT occlusion boundaries (one object
-sliding in front of another) and shadow booleans stay hard
-(stop-gradient), as in the main pipeline.
+without gradient masks. Cross-OBJECT boundaries and shadow booleans stay
+hard (stop-gradient) — and the r5 probe measured that this is NOT a
+practical limitation: (a) an occluding silhouette (A's limb against B) is
+a pair event of A, so branch B already reveals the object behind; (b) a
+t-ORDERING boundary (B poking through A; both objects keep real roots,
+only the nearest-hit order swaps along the 3-D intersection curve) is
+depth-CONTINUOUS (the surfaces meet where the order swaps), so the smooth
+IFT gradient carries the signal — measured: clean V-shaped loss at truth,
+FD == AD on both branches, single-parameter hard recovery to < 1e-2
+(tests/test_soft.py::test_cross_object_ordering_boundary_descends_hard).
 """
 
 from __future__ import annotations
