@@ -486,6 +486,7 @@ def _knobs_key() -> tuple:
             # executable (ADVICE r4, medium)
             os.environ.get("TRT_SHADOW_POLISH", "1"),
             os.environ.get("TRT_SCREEN_ITERS", "3"),
+            os.environ.get("TRT_BWD_TILE_ROWS"),
             _interpret_mode())
 
 
@@ -1560,15 +1561,34 @@ def _acc_layout(n_objects: int, n_lights: int):
     return row_cam, row_coefs, row_colors, row_lights, row_refl, total
 
 
+def _bwd_tile_rows(rows_padded: int) -> int:
+    """Tile height for the BACKWARD kernel, decoupled from the forward's
+    (TRT_BWD_TILE_ROWS; default = the forward height). The backward
+    carries the VMEM gradient accumulator on top of the replay state, so
+    its working-set/ILP trade-off can differ from the forward's. The aux
+    layout is flat [rows_padded, 128], so any height dividing rows_padded
+    re-tiles it consistently; non-divisors fall back to the forward
+    height."""
+    env = os.environ.get("TRT_BWD_TILE_ROWS")
+    if not env:
+        return _tile_rows()
+    rows = int(env)
+    if rows <= 0 or rows % 8 or rows_padded % rows:
+        return _tile_rows()
+    return rows
+
+
 def _make_bwd_kernel(n_objects: int, n_lights: int, width: int, height: int,
-                     bounces: int = 0, light_kinds: tuple | None = None):
+                     bounces: int = 0, light_kinds: tuple | None = None,
+                     tile_rows: int | None = None):
     inv_pi = np.float32(1.0 / math.pi)
     four_pi = np.float32(4.0 * math.pi)
     row_cam, row_coefs, row_colors, row_lights, row_refl, total_rows = (
         _acc_layout(n_objects, n_lights)
     )
     n_stages = bounces + 1
-    tile_rows = _tile_rows()
+    if tile_rows is None:
+        tile_rows = _tile_rows()
     tile_px = tile_rows * TILE_LANES
 
     def kernel(coefs_ref, colors_ref, refl_ref, lights_ref, cam_ref,
@@ -1959,11 +1979,13 @@ def _dispatch_bwd(coefs, colors, refl, lights, cam, g_tiles, aux, *,
     colors = _pad_empty(colors, n_objects)
     refl = _pad_empty(refl, n_objects)
     lights = _pad_empty(lights, n_lights)
-    _, n_tiles, _ = _grid_geometry(width, rows_out)
+    _, _, rows_padded = _grid_geometry(width, rows_out)
+    tile_rows = _bwd_tile_rows(rows_padded)
+    n_tiles = rows_padded // tile_rows
     kernel, total_rows = _make_bwd_kernel(n_objects, n_lights, width, height,
                                           bounces=bounces,
-                                          light_kinds=light_kinds)
-    tile_rows = _tile_rows()
+                                          light_kinds=light_kinds,
+                                          tile_rows=tile_rows)
     tile_spec = pl.BlockSpec((tile_rows, TILE_LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
