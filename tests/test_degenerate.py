@@ -206,6 +206,38 @@ def test_degenerate_scenes_through_cli(jaxmod, tmp_path, capsys):
     assert rc == 0 and out2.exists()
 
 
+def test_zero_object_soft_render(jaxmod):
+    """render_rays_soft on a 0-object scene: bg everywhere, finite zero
+    gradients — previously crashed on argmin over the empty object axis
+    (reachable via `fit --soft-tau` on an `objects: []` scene)."""
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.diff.soft import render_rays_soft
+
+    scene = build_scene(
+        16, 8, 60.0, [],
+        [light_mod.directional(1.0, (0.0, -1.0, 0.0), (1.0, 1.0, 1.0))],
+        bg_color=(0.2, 0.4, 0.8),
+    )
+    scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
+    origin = jnp.zeros((8, 16, 3), jnp.float32)
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                         (8, 16, 3))
+
+    img = np.asarray(render_rays_soft(scene32, origin, d, polish_iters=2,
+                                      tau=0.1))
+    np.testing.assert_allclose(
+        img, np.broadcast_to([0.2, 0.4, 0.8], img.shape), atol=1e-6)
+
+    def loss(light_color):
+        s = dataclasses.replace(scene32, light_color=light_color)
+        return jnp.sum(render_rays_soft(s, origin, d, polish_iters=2,
+                                        tau=0.1))
+
+    g = np.asarray(jax.jit(jax.grad(loss))(scene32.light_color))
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g, 0.0, atol=1e-8)
+
+
 def test_33_light_fit_routes_to_xla_and_descends(jaxmod):
     """InverseProblem(backend='pallas') on a > 31-light scene must take the
     XLA loss path (make_loss_fn's ``use_pallas`` gate) and still produce a

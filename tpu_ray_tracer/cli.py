@@ -57,17 +57,9 @@ def _render(scene, args):
         return render_image_np(
             scene, position=pose[:3], yaw_deg=pose[3], pitch_deg=pose[4]
         )
-    import jax.numpy as jnp
+    from . import FAST_CONFIG, render_image
 
-    from . import Camera, FAST_CONFIG, render_image
-
-    camera = None
-    if args.pose:
-        camera = Camera(
-            position=jnp.asarray(args.pose[:3], jnp.float32),
-            yaw_deg=jnp.asarray(args.pose[3], jnp.float32),
-            pitch_deg=jnp.asarray(args.pose[4], jnp.float32),
-        )
+    camera = _camera_from_pose(args.pose) if args.pose else None
     if args.backend == "pallas":
         from .render.pallas_backend import render_image_pallas
 
@@ -214,10 +206,7 @@ def cmd_bench(args) -> int:
 def cmd_fit(args) -> int:
     """Inverse rendering: recover perturbed scene parameters from a target
     image by gradient descent (BASELINE.json config; no reference analog)."""
-    import dataclasses
-
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from .diff.inverse import InverseProblem, fit
@@ -236,22 +225,11 @@ def cmd_fit(args) -> int:
         mesh = global_pixel_mesh()
     else:
         mesh = make_mesh()
-    camera = None
 
-    # --pose sets the camera the target is rendered at (and the fixed render
-    # camera for scene-parameter fits); default is the reference initial pose
-    if args.pose:
-        import jax.numpy as jnp
-
-        from . import Camera
-
-        true_cam = Camera(
-            position=jnp.asarray(args.pose[:3], jnp.float32),
-            yaw_deg=jnp.asarray(args.pose[3], jnp.float32),
-            pitch_deg=jnp.asarray(args.pose[4], jnp.float32),
-        )
-    else:
-        true_cam = _default_camera()
+    # --pose sets the camera the self-recovery target is rendered at (and
+    # the fixed render camera for scene-parameter fits); default is the
+    # reference initial pose
+    true_cam = _camera_from_pose(args.pose) if args.pose else _default_camera()
     if args.target:
         target = np.load(args.target)
     else:
@@ -261,9 +239,11 @@ def cmd_fit(args) -> int:
     fields = args.params.split(",")
     perturbed = _perturb_scene(scene, fields, args.perturb)
     camera = true_cam
-    if "camera" in fields:
-        # pose recovery: start from a perturbed pose; the target above was
-        # rendered at ``true_cam``, which descent must recover
+    if "camera" in fields and not args.target:
+        # SELF-recovery pose fit: start from a perturbed pose; the target
+        # above was rendered at ``true_cam``, which descent must recover.
+        # With an external --target the true pose is unknown and --pose IS
+        # the user's initial guess — start exactly there, unperturbed.
         camera = _perturbed_camera(true_cam, args.pose_perturb)
     backend = args.backend
     if backend == "numpy":
@@ -291,8 +271,6 @@ def cmd_fit(args) -> int:
         soft_tau=args.soft_tau,
         backend=backend,
     )
-    import jax
-
     log = print if jax.process_index() == 0 else (lambda *a, **k: None)
     params, losses = fit(
         problem, target, camera=camera, steps=args.steps, mesh=mesh,
@@ -361,14 +339,19 @@ def _perturbed_camera(base, pose_perturb_deg: float):
 
 
 def _default_camera():
+    return _camera_from_pose((0.0, 0.0, 0.0, 90.0, 0.0))
+
+
+def _camera_from_pose(pose):
+    """(X, Y, Z, YAW, PITCH) — the --pose argument order — to a Camera."""
     import jax.numpy as jnp
 
     from . import Camera
 
     return Camera(
-        position=jnp.zeros(3, jnp.float32),
-        yaw_deg=jnp.asarray(90.0, jnp.float32),
-        pitch_deg=jnp.asarray(0.0, jnp.float32),
+        position=jnp.asarray(pose[:3], jnp.float32),
+        yaw_deg=jnp.asarray(pose[3], jnp.float32),
+        pitch_deg=jnp.asarray(pose[4], jnp.float32),
     )
 
 

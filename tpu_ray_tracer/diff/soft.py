@@ -300,6 +300,11 @@ def render_rays_soft(scene: Scene, origin, dir, *, polish_iters: int = 3,
     optimized. ``quad_width``: quadric silhouette transition width; the
     default assumes bundled-scene distance/radius ratios (see
     ``pair_coverage`` for the scaling rule on larger scenes)."""
+    if scene.n_objects == 0:
+        # no objects -> no roots, no pair events; same short-circuit as
+        # the hard pipeline (render_rays), differentiable w.r.t. bg_color
+        bg = scene.bg_color.astype(jnp.float32)
+        return jnp.broadcast_to(bg, origin.shape[:-1] + (3,))
     t_a = intersect_all(scene.coefs, origin, dir, polish_iters)
     t_b = _roots_excluding_pair(scene.coefs, origin, dir, polish_iters,
                                 pair_kinds=pair_kinds)

@@ -270,11 +270,11 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     on the cheap ASSEMBLED 1-D polynomial, the reference's min-positive
     selection picks the winner, and only the winner is polished and
     residual-verified against the full direct 20-monomial evaluation
-    (which also repairs assembly error in t3..t0). A 1-STEP screen was
-    measured to 5x dingdong's 64x48 boundary-pixel fraction (its
-    near-degenerate cubics need 2 steps to classify); the 2-step screen
-    is parity-neutral. Gated by the full-res per-scene thresholds in
-    bench.py."""
+    (which also repairs assembly error in t3..t0). Screen depth vs parity
+    (full-res dingdong, r5 attribution sweep): 1 step 5x'd the boundary
+    pixels; 2 steps cost 0.0016 -> 0.0025 bad-px (the whole r4 drift);
+    3 steps (the default) measure 0.001335 at zero throughput cost.
+    Gated by the per-scene RATCHET thresholds in bench.py."""
     one = jnp.ones_like(ox)
     o_pows = _powers3(ox, oy, oz)
     d_pows = _powers3(dx, dy, dz)
@@ -371,10 +371,11 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     # direct residual test, the pixel becomes a miss even when a genuine
     # direct root exists farther along the ray (the old code would have
     # rejected the phantom per-candidate and let the genuine root win).
-    # Empirically absent across the full-res corpus — the all-8 parity
-    # gates (incl. near-degenerate dingdong, unchanged at 0.0025) are the
-    # guard; re-scanning on winner rejection would cost a second direct
-    # polish (+25% per object) for a case never observed.
+    # Empirically absent across the full-res corpus — the all-8 ratchet
+    # parity gates (incl. near-degenerate dingdong, 0.001335 at the r5
+    # 3-step screen) are the guard; re-scanning on winner rejection would
+    # cost a second direct polish (+25% per object) for a case never
+    # observed.
     # FAKE_ROOT fallbacks (rejected candidates that still won the scan —
     # filtered by the caller's t < MAX_T cull) must stay put, not be
     # Newton-walked.
@@ -1572,7 +1573,10 @@ def _bwd_tile_rows(rows_padded: int) -> int:
     env = os.environ.get("TRT_BWD_TILE_ROWS")
     if not env:
         return _tile_rows()
-    rows = int(env)
+    try:
+        rows = int(env)
+    except ValueError:
+        return _tile_rows()  # documented fallback for invalid values
     if rows <= 0 or rows % 8 or rows_padded % rows:
         return _tile_rows()
     return rows
