@@ -263,3 +263,62 @@ def test_33_light_fit_routes_to_xla_and_descends(jaxmod):
                          mesh=mesh, log_every=0)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_plane_only_scene_pallas(jaxmod):
+    """All-linear scene (planes only): n_cubic == 0 and no quadric slots —
+    the degree partition's third class. Forward parity vs the f64 oracle
+    through the kernel path."""
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.render.pallas_backend import render_image_pallas
+    from tpu_ray_tracer.render.reference_cpu import render_image_np
+
+    objs = [
+        Object(surface=surface.plane((0.0, -2.0, 0.0), (0.0, 1.0, 0.0)),
+               reflection_ratio=0.0, color=np.asarray([0.2, 0.7, 0.3])),
+        Object(surface=surface.plane((0.0, 0.0, 12.0), (0.1, 0.2, -1.0)),
+               reflection_ratio=0.0, color=np.asarray([0.8, 0.4, 0.1])),
+    ]
+    lights = [light_mod.directional(1.5, (0.3, -1.0, 0.4), (1.0, 1.0, 1.0)),
+              light_mod.spherical(40.0, (0.0, 3.0, 6.0), (1.0, 0.9, 0.8))]
+    scene = build_scene(64, 32, 60.0, objs, lights, bg_color=(0.1, 0.1, 0.3))
+    img = np.asarray(render_image_pallas(scene, _cam(jnp)))
+    gold = render_image_np(scene)
+    assert np.isfinite(img).all()
+    err = np.abs(img - gold).max(axis=-1)
+    assert float((err > 2.0 / 255.0).mean()) <= 0.005
+
+
+def test_31_light_fused_backward_boundary(jaxmod):
+    """Exactly 31 lights — the last count the fused analytic backward's
+    occlusion bitmask encodes (bits 0-30). Gradients through the FUSED
+    path must match XLA AD; 32+ takes the recompute fallback (covered by
+    the 33-light test above)."""
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.render.pallas_backend import render_image_pallas
+    from tpu_ray_tracer.render.pipeline import RenderConfig, render_image
+
+    scene = _scene_many_lights(n=31, width=24, height=8)
+    assert scene.n_lights == 31
+    scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
+    cam = _cam(jnp)
+
+    def loss_pallas(light_color):
+        s = dataclasses.replace(scene32, light_color=light_color)
+        # n_lights <= 31 and n_objects > 0: this IS the fused-backward path
+        return jnp.sum(render_image_pallas(s, cam, polish_iters=2, bounces=0))
+
+    config = RenderConfig(geom_dtype="float32", polish_iters=2, bounces=0,
+                          chunk_px=None)
+
+    def loss_xla(light_color):
+        s = dataclasses.replace(scene32, light_color=light_color)
+        return jnp.sum(render_image(s, cam, config))
+
+    g_p = np.asarray(jax.jit(jax.grad(loss_pallas))(scene32.light_color))
+    g_x = np.asarray(jax.jit(jax.grad(loss_xla))(scene32.light_color))
+    assert np.isfinite(g_p).all()
+    assert np.abs(g_p).max() > 0
+    scale = max(np.abs(g_x).max(), 1e-6)
+    assert np.abs(g_p - g_x).max() / scale < 5e-3, (
+        np.abs(g_p - g_x).max() / scale)
