@@ -298,6 +298,38 @@ def test_camera_grad_pallas_matches_xla(jaxmod):
     assert np.abs(np.asarray(g_x.yaw_deg)) > 0  # gradient genuinely flows
 
 
+def test_camera_grad_pallas_matches_xla_reflective(jaxmod):
+    """Camera cotangents through the fused backward's REFLECTION-chain
+    replay (bounces=1): the bounces=0 parity test leaves the per-bounce
+    dcam accumulation unpinned. Measured relerr ~1e-4 (f32)."""
+    jax, jnp = jaxmod
+    from tpu_ray_tracer.render.pallas_backend import render_image_pallas
+    from tpu_ray_tracer.render.pipeline import RenderConfig, render_image
+
+    scene = dataclasses.replace(
+        trt.load_from_file(scene_path("reflection_test")), width=32, height=24
+    )
+    scene32 = jax.tree.map(jnp.asarray, scene.astype(jnp.float32))
+    cam = _pose(jnp, [0.0, 0.0, 0.0], 88.0, -3.0)
+    config = RenderConfig(geom_dtype="float32", polish_iters=3, bounces=1,
+                          chunk_px=None)
+
+    g_p = jax.jit(jax.grad(
+        lambda c: jnp.sum(render_image_pallas(scene32, c, 3, 1))))(cam)
+    g_x = jax.jit(jax.grad(
+        lambda c: jnp.sum(render_image(scene32, c, config))))(cam)
+    for leaf_p, leaf_x, name in (
+        (g_p.position, g_x.position, "position"),
+        (g_p.yaw_deg, g_x.yaw_deg, "yaw"),
+        (g_p.pitch_deg, g_x.pitch_deg, "pitch"),
+    ):
+        a, b = np.asarray(leaf_p), np.asarray(leaf_x)
+        assert np.isfinite(a).all(), name
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 5e-3, (name, a, b)
+    assert np.abs(np.asarray(g_x.yaw_deg)) > 0
+
+
 def test_fit_camera_pose_pallas_backend(jaxmod):
     """Pose fit through the fused Pallas fwd+bwd kernels (the use_pallas
     loss path with the 'camera' pseudo-field): loss must descend."""
