@@ -280,7 +280,13 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     d_pows = _powers3(dx, dy, dz)
     t3, t2, t1, t0 = _ray_coeffs_scalar(coef, o_pows, d_pows, one)
 
-    screen = min(_screen_iters_default(), polish_iters)
+    # The screen is NOT capped at polish_iters: it classifies/orders
+    # candidates on the cheap 1-D polynomial (~8 ops/step), so deeper
+    # screening is nearly free and measurably reduces boundary-pixel
+    # misclassification independent of the winner's direct polish depth
+    # (r5 sweep: at polish=4/6 the gain tracked the SCREEN depth, not the
+    # polish depth).
+    screen = min(_screen_iters_default(), 8)
 
     # 1-D screening on the ASSEMBLED t-polynomial (r4b): candidate
     # screening only needs genuineness classification + ordering, so
@@ -1238,7 +1244,12 @@ def _screen_iters_default() -> int:
     Newton step recovers it past the r3 value — measured full-res
     dingdong 0.002471 -> 0.001335 at NO throughput cost (1.674 vs
     1.677 ms; the 1-D step is ~8 vector ops against a kernel of
-    thousands). 1 was measured in r4 to 5x the boundary pixels."""
+    thousands). 1 was measured in r4 to 5x the boundary pixels.
+    Deeper screening keeps paying on the degenerate-cubic boundary at a
+    measured cost (full-res dingdong, r5): 5 -> 0.000701 (+2.7% frame),
+    6 -> 0.000382 (+3.2%), 8 -> 0.000324 (+9.6%), other scenes parity-
+    unchanged — set TRT_SCREEN_ITERS=6 when boundary fidelity matters
+    more than ~3% throughput (docs/performance.md has the full curve)."""
     return max(1, int(os.environ.get("TRT_SCREEN_ITERS", "3")))
 
 
