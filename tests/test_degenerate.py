@@ -3,9 +3,11 @@
 The load-bearing docstring claims — the > 31-light gradient fallback
 (``_diff_bwd`` XLA recompute), the zero-light scene, and the zero-object
 scene — previously had no test constructing such a scene anywhere. The
-reference itself tolerates empty sequences (reference: src/scene.cpp:169-170
-— absent ``objects``/``light_sources`` keys simply yield empty vectors), so
-these shapes are legal inputs, not error paths.
+reference REQUIRES both sequence keys to be present (check_sequence throws
+``undefined_value`` on an absent key, reference: src/scene.cpp:56-66) but
+iterates EMPTY sequences zero times (src/scene.cpp:169-170) — so
+``objects: []`` / ``light_sources: []`` are legal inputs, not error paths,
+and this loader replicates both sides of that contract.
 """
 
 import dataclasses

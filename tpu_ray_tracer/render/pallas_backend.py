@@ -265,7 +265,7 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     (kernel-local analogue of ops.roots.min_positive_root, refined mode).
 
     Newton budget is screen-then-refine (r4): the five candidates are
-    screened with min(TRT_SCREEN_ITERS (default 3), polish_iters) Newton
+    screened with TRT_SCREEN_ITERS (default 3, clamped to [1, 8]) Newton
     steps + residual rejection
     on the cheap ASSEMBLED 1-D polynomial, the reference's min-positive
     selection picks the winner, and only the winner is polished and
@@ -286,7 +286,7 @@ def _solve_object(coef, ox, oy, oz, dx, dy, dz, polish_iters):
     # misclassification independent of the winner's direct polish depth
     # (r5 sweep: at polish=4/6 the gain tracked the SCREEN depth, not the
     # polish depth).
-    screen = min(_screen_iters_default(), 8)
+    screen = _screen_iters_default()
 
     # 1-D screening on the ASSEMBLED t-polynomial (r4b): candidate
     # screening only needs genuineness classification + ordering, so
@@ -492,7 +492,9 @@ def _knobs_key() -> tuple:
             # post-import env flip would silently serve the stale sharded
             # executable (ADVICE r4, medium)
             os.environ.get("TRT_SHADOW_POLISH", "1"),
-            os.environ.get("TRT_SCREEN_ITERS", "3"),
+            # resolved (clamped) value, not the raw string: values past the
+            # clamp must hit the SAME executable, not recompile identically
+            _screen_iters_default(),
             os.environ.get("TRT_BWD_TILE_ROWS"),
             _interpret_mode())
 
@@ -1249,8 +1251,10 @@ def _screen_iters_default() -> int:
     measured cost (full-res dingdong, r5): 5 -> 0.000701 (+2.7% frame),
     6 -> 0.000382 (+3.2%), 8 -> 0.000324 (+9.6%), other scenes parity-
     unchanged — set TRT_SCREEN_ITERS=6 when boundary fidelity matters
-    more than ~3% throughput (docs/performance.md has the full curve)."""
-    return max(1, int(os.environ.get("TRT_SCREEN_ITERS", "3")))
+    more than ~3% throughput (docs/performance.md has the full curve).
+    Clamped to [1, 8]: past 8 the measured curve has flattened and the
+    unrolled screen only bloats the kernel."""
+    return max(1, min(int(os.environ.get("TRT_SCREEN_ITERS", "3")), 8))
 
 
 def _degree_partition(coefs):
